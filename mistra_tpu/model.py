@@ -1,0 +1,171 @@
+"""Model assembly: the operator-splitting timestep schedule.
+
+The reference's two-level time loop (outer 1-minute steps, inner 6 x 10-s
+substeps; str.f90:324-535) is encoded declaratively here: ``substep``
+applies the fast physics in the reference's fixed order, ``minute_step``
+wraps six substeps plus the 60-s radiation call and the clock update.
+Everything is a pure function of the state pytree so the whole minute jits
+into one XLA program and vmaps over column ensembles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .config import MistraConfig
+from .constants import PI
+from .grids import Grids, make_grids
+from .init import AstroConsts, initial_state, solar_constants
+from .physics import diffusion, microphysics, surface
+from .physics.turbulence import atk0
+from .state import ModelState
+
+
+def solar_zenith(lst, lmin, alat, declin):
+    """Cosine of solar zenith angle with spherical-shell path correction
+    (reference: radinit.f90:1180-1189)."""
+    zeit = lst * 3600.0 + lmin * 60.0
+    horang = 7.272205e-5 * zeit - PI
+    rlat = alat * 1.745329e-2
+    rdec = declin * 1.745329e-2
+    u00 = jnp.cos(rdec) * jnp.cos(rlat) * jnp.cos(horang) \
+        + jnp.sin(rdec) * jnp.sin(rlat)
+    ru0 = 6371.0 * u00
+    return 8.0 / (jnp.sqrt(ru0 ** 2 + 102000.0) - ru0)
+
+
+class Model:
+    """Owns static configuration, grids and tables; provides step functions.
+
+    The jitted step functions close over the static data; the dynamic state
+    is the ModelState pytree.
+    """
+
+    def __init__(self, cfg: MistraConfig):
+        self.cfg = cfg
+        self.grids: Grids = make_grids(cfg)
+        self.clarke = surface.load_clarke_table(cfg.inpdir)
+        self.astro: AstroConsts = solar_constants(cfg)
+        self.consts: dict = {}
+        self._radiation = None  # installed by mistra_tpu.radiation
+        # device copies of the atmosphere grid in the compute dtype
+        import numpy as _np
+        dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        from .grids import AtmGrid
+        self.atm = AtmGrid(
+            eta=jnp.asarray(self.grids.atm.eta, dt),
+            etw=jnp.asarray(self.grids.atm.etw, dt),
+            detw=jnp.asarray(self.grids.atm.detw, dt),
+            deta=jnp.asarray(self.grids.atm.deta, dt))
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> ModelState:
+        state, consts = initial_state(self.cfg, self.grids, self.clarke)
+        self.consts.update(consts)
+        # initial exchange coefficients (atk0)
+        turb = atk0(state.met, state.turb, state.surf, self.atm,
+                    self.cfg.ug, self.cfg.vg, self.cfg.z0)
+        state = state.replace(turb=turb)
+        # aerosols onto the Koehler equilibrium curve
+        met, micro = microphysics.equil(
+            state.met, state.micro, self.grids.micro,
+            consts["a0m"], jnp.asarray(consts["b0m"]), ncase=0,
+            nf=self.cfg.grid.nf)
+        state = state.replace(met=met, micro=micro)
+        # initial solar zenith angle
+        u0 = solar_zenith(state.tim.lst, state.tim.lmin,
+                          self.astro.alat, self.astro.declin)
+        state = state.replace(rad=state.rad.replace(u0=u0))
+        # initial radiation call
+        if self._radiation is not None:
+            state = self._radiation(state, init=True)
+        return state
+
+    # ------------------------------------------------------------------
+    def substep(self, state: ModelState, dd: float) -> ModelState:
+        """One 10-s fractional step (dynamics + microphysics + surface)."""
+        cfg, grids = self.cfg, self.grids
+        n = cfg.grid.n
+        a0m = self.consts["a0m"]
+        b0m = jnp.asarray(self.consts["b0m"])
+
+        # turbulent exchange of momentum/heat/moisture/TKE (+ closure)
+        met, turb, kinv = diffusion.difm(
+            state.met, state.turb, state.surf, state.micro, self.atm, dd,
+            cfg.ug, cfg.vg)
+        state = state.replace(met=met, turb=turb,
+                              tim=state.tim.replace(kinv=kinv))
+
+        if cfg.mic:
+            micro = diffusion.difp(state.micro, state.met, state.turb,
+                                   self.atm, dd)
+            state = state.replace(micro=micro)
+            state = self._kon(state, dd)
+            state = self._sedp(state, dd)
+            met, micro = microphysics.equil(
+                state.met, state.micro, grids.micro, a0m, b0m, ncase=2,
+                nf=cfg.grid.nf)
+            state = state.replace(met=met, micro=micro)
+        else:
+            # non-mic runs keep the boundary-layer top level in equilibrium
+            met, micro = microphysics.equil(
+                state.met, state.micro, grids.micro, a0m, b0m, ncase=1,
+                nf=cfg.grid.nf, level=cfg.grid.nf - 1)
+            state = state.replace(met=met, micro=micro)
+
+        # radiative heating of interior levels
+        t = state.met.t
+        t = t.at[1:n - 1].add(state.rad.dtrad[1:n - 1] * dd)
+        state = state.replace(met=state.met.replace(t=t))
+
+        # surface boundary condition
+        if cfg.isurf == 0:
+            met, surf_state = surface.surf0(
+                self.clarke, state.met, state.surf, self.atm.eta, dd,
+                rhsurf=cfg.rhsurf, ltwcst=cfg.ltwcst, ntwopt=cfg.ntwopt)
+            state = state.replace(met=met, surf=surf_state)
+        else:
+            raise NotImplementedError("soil surface (isurf=1) lands with surf1")
+
+        tim = state.tim.replace(time=state.tim.time + dd)
+        return state.replace(tim=tim)
+
+    # placeholders filled in by the microphysics growth/sedimentation stage
+    def _kon(self, state, dd):
+        from .physics import growth
+        return growth.kon(self, state, dd)
+
+    def _sedp(self, state, dd):
+        from .physics import sedimentation
+        return sedimentation.sedp(self, state, dd)
+
+    # ------------------------------------------------------------------
+    def minute_step(self, state: ModelState) -> ModelState:
+        """One outer 1-minute step: clock, 6 substeps, radiation."""
+        # advance wall clock
+        lmin = state.tim.lmin + 1
+        lst = state.tim.lst + lmin // 60
+        lmin = lmin % 60
+        lday = state.tim.lday + lst // 24
+        lst = lst % 24
+        state = state.replace(tim=state.tim.replace(lmin=lmin, lst=lst,
+                                                    lday=lday))
+
+        for _ in range(6):
+            state = self.substep(state, 10.0)
+
+        # solar geometry + radiative transfer once per minute
+        u0 = solar_zenith(state.tim.lst, state.tim.lmin,
+                          self.astro.alat, self.astro.declin)
+        state = state.replace(rad=state.rad.replace(u0=u0))
+        if self._radiation is not None:
+            state = self._radiation(state, init=False)
+        return state
+
+    # ------------------------------------------------------------------
+    def jit_minute_step(self):
+        return jax.jit(self.minute_step)
