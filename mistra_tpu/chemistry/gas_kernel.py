@@ -1,0 +1,137 @@
+"""Gas-phase chemistry kernel: mechanism arrays -> batched fun/jac/rates.
+
+Replaces the KPP-generated ``Update_RCONST_g``/``Fun_g``/``Jac_SP_g``
+(gas.f:275-709, 2043-2655) with mechanism-as-data: rate expressions are
+evaluated once at trace time against the vectorized rate library, species
+production/loss and the dense Jacobian are MXU matmuls against the packed
+stoichiometry, and the Ros3 integrator advances all (layer, column) cells
+in one masked batch.
+
+Concentration units: mol/m3 (the reference's transport unit; bimolecular
+rate expressions carry the CONV1 factor in the mechanism file).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mech import MAX_REACTANTS, Mechanism
+from .rates import RateEnv, make_namespace
+from . import rosenbrock
+
+
+class GasKernel:
+    def __init__(self, mech: Mechanism, dtype=jnp.float64):
+        self.mech = mech
+        self.dtype = dtype
+        self.nvar = mech.nvar
+        self.nfix = len(mech.fixed)
+        self.stoich = jnp.asarray(mech.stoich, dtype)       # [nrxn, nvar]
+        self.ridx = jnp.asarray(mech.ridx)                  # [nrxn, 3]
+        # per-slot one-hot for the Jacobian scatter (zero rows for fixed)
+        oh = []
+        for l in range(MAX_REACTANTS):
+            col = mech.ridx[:, l]
+            m = np.zeros((mech.nrxn, mech.nvar))
+            valid = col < mech.nvar
+            m[np.nonzero(valid)[0], col[valid]] = 1.0
+            oh.append(m)
+        self.onehot = jnp.asarray(np.stack(oh), dtype)      # [3, nrxn, nvar]
+
+    # ------------------------------------------------------------------
+    def rate_constants(self, env: RateEnv, fix=None) -> jnp.ndarray:
+        """Evaluate all rate expressions -> k [..., nrxn].
+
+        env fields may be scalars or batched arrays; the result broadcasts.
+        fix: [..., nfix] fixed-species concentrations (FIX(indf_*) refs).
+        """
+        ns = make_namespace(env)
+        ns.setdefault("fdhetg", lambda na, nb: 0.0)
+        ns.setdefault("yxkmt", lambda ind, a: 0.0)
+        ns.setdefault("ycw", lambda a: 0.0)
+        if fix is not None:
+            ns["fix"] = lambda i: fix[..., i]
+            for fi, name in enumerate(self.mech.fixed):
+                ns[f"indf_{name.lower()}"] = fi
+        ks = []
+        zero = env.te * 0.0
+        for rx in self.mech.reactions:
+            try:
+                k = eval(rx.rate_expr, {"__builtins__": {}}, ns)
+            except Exception as exc:
+                raise RuntimeError(
+                    f"rate expression for {rx.label} failed: "
+                    f"{rx.rate_expr!r}: {exc}") from exc
+            ks.append(jnp.asarray(k, self.dtype) + zero)
+        return jnp.stack(ks, axis=-1)
+
+    # ------------------------------------------------------------------
+    def _cx(self, y, fix):
+        """Extended concentration vector [B, nvar+1+nfix]."""
+        B = y.shape[0]
+        ones = jnp.ones((B, 1), y.dtype)
+        return jnp.concatenate([y, ones, fix], axis=-1)
+
+    def fun(self, y, k, fix):
+        """Tendencies [B, nvar] for concentrations y [B, nvar]."""
+        cx = self._cx(y, fix)
+        cr = cx[:, self.ridx]                        # [B, nrxn, 3]
+        r = k * jnp.prod(cr, axis=-1)                # [B, nrxn]
+        return r @ self.stoich                       # [B, nvar]
+
+    def jac(self, y, k, fix):
+        """Dense Jacobian [B, nvar, nvar]."""
+        cx = self._cx(y, fix)
+        cr = cx[:, self.ridx]                        # [B, nrxn, 3]
+        p0, p1, p2 = cr[..., 0], cr[..., 1], cr[..., 2]
+        wo = jnp.stack([p1 * p2, p0 * p2, p0 * p1])  # [3, B, nrxn]
+        jac = jnp.zeros((y.shape[0], self.nvar, self.nvar), y.dtype)
+        for l in range(MAX_REACTANTS):
+            kw = k * wo[l]                           # [B, nrxn]
+            # J[b, s, m] = sum_j stoich[j, s] * kw[b, j] * [ridx(j,l) == m]
+            jac = jac + jnp.einsum("js,bj,jm->bsm", self.stoich, kw,
+                                   self.onehot[l])
+        return jac
+
+    # ------------------------------------------------------------------
+    def integrate(self, y0, k, fix, dt,
+                  opts: rosenbrock.RosOptions = rosenbrock.RosOptions()):
+        """Advance the batch of cells by dt seconds."""
+        fun = lambda y: self.fun(y, k, fix)
+        jac = lambda y: self.jac(y, k, fix)
+        return rosenbrock.integrate(fun, jac, y0, dt, opts)
+
+
+# --------------------------------------------------------------------------
+# species registry (gas_species.csv compatibility)
+# --------------------------------------------------------------------------
+
+def load_species_csv(path: str):
+    """Parse the reference's gas species CSV (utils.f90 mk_interface input).
+
+    Returns list of dicts: index, name, mass [kg/mol], ground/top mixing
+    ratio [ppb], emission rate [molec/cm2/s].
+    """
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("!"):
+                continue
+            toks = line.split()
+            if len(toks) < 6:
+                continue
+            try:
+                out.append({
+                    "index": int(toks[0]),
+                    "name": toks[1],
+                    "mass": float(toks[2].replace("E", "e")),
+                    "ground_ppb": float(toks[3]),
+                    "top_ppb": float(toks[4]),
+                    "emission": float(toks[5]),
+                })
+            except ValueError:
+                continue
+    return out

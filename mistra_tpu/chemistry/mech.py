@@ -1,0 +1,178 @@
+"""Mechanism compiler: KPP-format equation files -> packed arrays.
+
+Replaces the reference's offline KPP/csh code-generation pipeline
+(src/mech/make_kpp.sc and the generated gas.f/aer.f/tot.f; SURVEY.md C39):
+the ``.eqn`` mechanism definitions are parsed directly into stoichiometry
+arrays plus rate-expression strings that are evaluated (at trace time)
+against the vectorized rate-law library.  One batched Rosenbrock kernel
+then serves any mechanism size.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# species that KPP treats as fixed (held constant during integration);
+# from the reference's #DEFFIX blocks (master.spc / gas.def)
+DEFAULT_FIXED = ("O2", "N2", "H2O")
+
+MAX_REACTANTS = 3
+
+
+@dataclass
+class Reaction:
+    label: str
+    reactants: list        # [(species, count)]
+    products: list         # [(species, coeff)]
+    rate_expr: str         # pythonized rate expression
+
+
+@dataclass
+class Mechanism:
+    name: str
+    species: list                  # variable species names (order = index)
+    fixed: list                    # fixed species names
+    reactions: list                # [Reaction]
+    # packed arrays (built by finalize)
+    stoich: np.ndarray = None      # [nrxn, nvar] net stoichiometry
+    ridx: np.ndarray = None        # [nrxn, MAX_REACTANTS] reactant indices
+    rcnt: np.ndarray = None        # [nrxn, MAX_REACTANTS] reactant orders
+    fixed_ridx: np.ndarray = None  # [nrxn, MAX_REACTANTS] fixed-species idx
+
+    @property
+    def nvar(self) -> int:
+        return len(self.species)
+
+    @property
+    def nrxn(self) -> int:
+        return len(self.reactions)
+
+    def finalize(self):
+        """Build the packed stoichiometry / reactant-index arrays."""
+        sp_idx = {s: i for i, s in enumerate(self.species)}
+        fx_idx = {s: i for i, s in enumerate(self.fixed)}
+        nrxn, nvar = len(self.reactions), len(self.species)
+        stoich = np.zeros((nrxn, nvar))
+        # reactant slots: entries < nvar are variable species; nvar means
+        # "none"; nvar+1+k means fixed species k (concentration from FIX)
+        ridx = np.full((nrxn, MAX_REACTANTS), nvar, dtype=np.int32)
+        for j, rx in enumerate(self.reactions):
+            slot = 0
+            for name, cnt in rx.reactants:
+                if name in fx_idx:
+                    idx = nvar + 1 + fx_idx[name]
+                elif name in sp_idx:
+                    idx = sp_idx[name]
+                    stoich[j, idx] -= cnt
+                else:
+                    raise KeyError(f"unknown reactant {name} in {rx.label}")
+                for _ in range(int(cnt)):
+                    if slot >= MAX_REACTANTS:
+                        raise ValueError(f"too many reactants in {rx.label}")
+                    ridx[j, slot] = idx
+                    slot += 1
+            for name, coeff in rx.products:
+                if name in sp_idx:
+                    stoich[j, sp_idx[name]] += coeff
+                elif name not in fx_idx:
+                    raise KeyError(f"unknown product {name} in {rx.label}")
+        self.stoich = stoich
+        self.ridx = ridx
+        return self
+
+
+_COMMENT_RE = re.compile(r"\{[^}]*\}")
+
+
+def _pythonize_rate(expr: str) -> str:
+    """Fortran rate expression -> python (evaluated against rates.py)."""
+    e = expr.strip()
+    # d-exponents: 1.4d-12 -> 1.4e-12 (also D), incl. forms like 5d2
+    e = re.sub(r"(?<=[\d.])[dD](?=[+-]?\d)", "e", e)
+    # Fortran operators and names
+    e = e.replace(".d0", ".0")
+    e = re.sub(r"\bDBLE\b", "", e, flags=re.IGNORECASE)
+    # function/variable names lowercase (tokens only, not numbers)
+    e = re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\b",
+               lambda m: m.group(0).lower(), e)
+    # ph_rat( 3) etc. are fine after lowering
+    return e
+
+
+def _parse_side(side: str, is_lhs: bool):
+    """Parse one side of an equation into [(species, coeff)]."""
+    out = []
+    for term in side.split("+"):
+        term = term.strip()
+        if not term:
+            continue
+        m = re.match(r"^([0-9.]+)?\s*([A-Za-z][A-Za-z0-9_]*)$", term)
+        if m is None:
+            raise ValueError(f"cannot parse species term {term!r}")
+        coeff = float(m.group(1)) if m.group(1) else 1.0
+        name = m.group(2)
+        if name == "hv":
+            continue
+        out.append((name, coeff))
+    return out
+
+
+def parse_eqn(text: str, name: str = "mech",
+              fixed=DEFAULT_FIXED) -> Mechanism:
+    """Parse a KPP .eqn file (reference format, src/mech/master_gas.eqn)."""
+    # drop the #EQUATIONS header
+    text = re.sub(r"#\w+.*", "", text)
+    # extract reaction labels before stripping comments: a reaction entry
+    # starts with {label}; commented-out reactions start with {--- ...}
+    # Strategy: remove ALL {---...} blocks (true comments), keep {label}
+    # markers as separators, then strip remaining {...} inline comments.
+    text = re.sub(r"\{---[^}]*\}", " ", text)
+
+    reactions = []
+    species = []
+    seen = set(fixed)
+
+    # split the stream at ';' into statements
+    statements = []
+    buf = []
+    for line in text.splitlines():
+        buf.append(line)
+        if ";" in line:
+            statements.append("\n".join(buf))
+            buf = []
+    for stmt in statements:
+        stmt = stmt.strip()
+        if not stmt or "=" not in stmt or ":" not in stmt:
+            continue
+        mlab = re.match(r"\s*\{([^}]*)\}", stmt)
+        label = mlab.group(1).strip() if mlab else f"R{len(reactions)+1}"
+        body = _COMMENT_RE.sub(" ", stmt)
+        body = body.split(";")[0]
+        lhs_rhs, rate = body.split(":", 1)
+        lhs, rhs = lhs_rhs.split("=", 1)
+        try:
+            reac = _parse_side(lhs, True)
+            prod = _parse_side(rhs, False)
+        except ValueError as exc:
+            raise ValueError(f"in reaction {label}: {exc}") from exc
+        rx = Reaction(label=label, reactants=reac, products=prod,
+                      rate_expr=_pythonize_rate(rate))
+        reactions.append(rx)
+        for nm, _ in reac + prod:
+            if nm not in seen:
+                seen.add(nm)
+                species.append(nm)
+
+    mech = Mechanism(name=name, species=species, fixed=list(fixed),
+                     reactions=reactions)
+    return mech.finalize()
+
+
+def load_gas_mechanism(mechdir: str, fname: str = "master_gas.eqn",
+                       iod: bool = True, halo: bool = True) -> Mechanism:
+    with open(f"{mechdir.rstrip('/')}/{fname}") as f:
+        text = f.read()
+    return parse_eqn(text, name="gas")

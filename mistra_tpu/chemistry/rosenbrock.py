@@ -1,0 +1,148 @@
+"""Batched Rosenbrock (Ros3) stiff ODE integrator for chemistry cells.
+
+Parity with the KPP-generated integrator of the reference
+(``RosenbrockIntegrator_g``, gas.f:1112-1337; Ros3 coefficients
+gas.f:1474-1513; tolerances RTOL=1e-3, ATOL=1e-25, Hstart=1e-3 from
+gas.f:739-747).  TPU-first design decisions:
+
+* One kernel serves every mechanism size: the stage solves use a *dense*
+  batched LU (``jnp.linalg.solve``) over the cell batch — on TPU the
+  batched dense factorization maps onto the MXU, where the reference's
+  sequential sparse Doolittle elimination cannot; the extra FLOPs are
+  free compared to the VPU-bound alternative (SURVEY.md section 7.3).
+* The per-cell adaptive stepping (accept/reject, step-size control)
+  becomes a masked while-loop: all cells advance together, finished or
+  rejected cells mask their updates, and the loop runs until every cell
+  reaches Tend (or the step floor).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+# Ros3 coefficients (L-stable, 3 stages; gas.f:1474-1513)
+ROS_A21 = 1.0
+ROS_A31 = 1.0
+ROS_A32 = 0.0
+ROS_C21 = -0.10156171083877702091975600115545e1
+ROS_C31 = 0.40759956452537699824805835358067e1
+ROS_C32 = 0.92076794298330791242156818474003e1
+ROS_M = (0.1e1, 0.61697947043828245592553615689730e1,
+         -0.42772256543218573326238373806514)
+ROS_E = (0.5, -0.29079558716805469821718236208017e1,
+         0.22354069897811569627360909276199)
+ROS_ELO = 3.0
+ROS_GAMMA = 0.43586652150845899941601945119356
+ROS_NEWF3 = False  # stage 3 reuses the stage-2 function value
+
+FAC_MIN = 0.2
+FAC_MAX = 6.0
+FAC_REJ = 0.1
+FAC_SAFE = 0.9
+DELTA_MIN = 1.0e-5
+
+
+@dataclass(frozen=True)
+class RosOptions:
+    rtol: float = 1.0e-3
+    atol: float = 1.0e-25
+    hstart: float = 1.0e-3
+    hmin: float = 0.0
+    max_steps: int = 400
+
+
+def integrate(fun, jac, y0, tend, opts: RosOptions = RosOptions()):
+    """Integrate dy/dt = fun(y) from 0 to tend for a batch of cells.
+
+    Args:
+      fun: (B, nvar) -> (B, nvar) tendencies (autonomous).
+      jac: (B, nvar) -> (B, nvar, nvar) dense Jacobian.
+      y0: [B, nvar] initial concentrations.
+      tend: scalar integration length [s].
+
+    Returns (y_final [B, nvar], info dict).
+    """
+    B, nvar = y0.shape
+    dtype = y0.dtype
+    roundoff = jnp.finfo(dtype).eps
+    hmax = tend
+
+    eye = jnp.eye(nvar, dtype=dtype)
+
+    def step_attempt(y, h, fcn0, jac0):
+        """One Ros3 step from y with step h.  Returns (ynew, yerr)."""
+        ghinv = 1.0 / (h * ROS_GAMMA)
+        A = ghinv[:, None, None] * eye[None] - jac0       # [B, nvar, nvar]
+        lu, piv = jax.scipy.linalg.lu_factor(A)
+
+        def solve(rhs):
+            return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+        # stage 1
+        k1 = solve(fcn0)
+        # stage 2
+        y2 = y + ROS_A21 * k1
+        f2 = fun(y2)
+        k2 = solve(f2 + (ROS_C21 / h)[:, None] * k1)
+        # stage 3 (no new function evaluation)
+        k3 = solve(f2 + (ROS_C31 / h)[:, None] * k1
+                   + (ROS_C32 / h)[:, None] * k2)
+
+        ynew = y + ROS_M[0] * k1 + ROS_M[1] * k2 + ROS_M[2] * k3
+        yerr = ROS_E[0] * k1 + ROS_E[1] * k2 + ROS_E[2] * k3
+        return ynew, yerr
+
+    def err_norm(y, ynew, yerr):
+        ymax = jnp.maximum(jnp.abs(y), jnp.abs(ynew))
+        scale = opts.atol + opts.rtol * ymax
+        return jnp.sqrt(jnp.mean((yerr / scale) ** 2, axis=-1))
+
+    h0 = jnp.full((B,), min(max(opts.hmin, DELTA_MIN), hmax), dtype)
+
+    def cond(carry):
+        y, t, h, rej1, rej2, nstp, done = carry
+        return jnp.any(~done) & jnp.all(nstp < opts.max_steps)
+
+    def body(carry):
+        y, t, h, rej1, rej2, nstp, done = carry
+        h_eff = jnp.minimum(h, tend - t)
+        h_eff = jnp.maximum(h_eff, 10.0 * roundoff)
+
+        fcn0 = fun(y)
+        jac0 = jac(y)
+        ynew, yerr = step_attempt(y, h_eff, fcn0, jac0)
+        err = err_norm(y, ynew, yerr)
+        # guard against NaN steps (singular matrix): treat as rejection
+        bad = ~jnp.all(jnp.isfinite(ynew), axis=-1)
+        err = jnp.where(bad, 1.0e10, err)
+
+        fac = jnp.clip(FAC_SAFE / err ** (1.0 / ROS_ELO), FAC_MIN, FAC_MAX)
+        hnew = h_eff * fac
+
+        accept = (err <= 1.0) | (h_eff <= opts.hmin)
+        upd = ~done
+
+        y = jnp.where((upd & accept)[:, None], ynew, y)
+        t = jnp.where(upd & accept, t + h_eff, t)
+
+        # step-size control with rejection memory (gas.f:1294-1325)
+        hnew_acc = jnp.clip(hnew, opts.hmin, hmax)
+        hnew_acc = jnp.where(rej1, jnp.minimum(hnew_acc, h_eff), hnew_acc)
+        hnew_rej = jnp.where(rej2, h_eff * FAC_REJ, hnew)
+        h = jnp.where(upd, jnp.where(accept, hnew_acc, hnew_rej), h)
+        rej2 = jnp.where(upd, jnp.where(accept, False, rej1), rej2)
+        rej1 = jnp.where(upd, ~accept, rej1)
+
+        nstp = nstp + jnp.where(upd, 1, 0)
+        done = done | (t >= tend * (1.0 - 1e-12))
+        return (y, t, h, rej1, rej2, nstp, done)
+
+    carry = (y0, jnp.zeros((B,), dtype), h0,
+             jnp.zeros((B,), bool), jnp.zeros((B,), bool),
+             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
+    y, t, h, _, _, nstp, done = jax.lax.while_loop(cond, body, carry)
+    info = {"t": t, "nsteps": nstp, "done": done}
+    return y, info

@@ -51,7 +51,8 @@ class Model:
         self.clarke = surface.load_clarke_table(cfg.inpdir)
         self.astro: AstroConsts = solar_constants(cfg)
         self.consts: dict = {}
-        self._radiation = None  # installed by mistra_tpu.radiation
+        self._radiation = None  # installed below (or None to disable)
+        self.radiation_enabled = True
         # device copies of the atmosphere grid in the compute dtype
         import numpy as _np
         dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
@@ -66,6 +67,9 @@ class Model:
     def init_state(self) -> ModelState:
         state, consts = initial_state(self.cfg, self.grids, self.clarke)
         self.consts.update(consts)
+        if self.radiation_enabled and self._radiation is None:
+            from .radiation.driver import RadiationDriver
+            self._radiation = RadiationDriver(self)
         # initial exchange coefficients (atk0)
         turb = atk0(state.met, state.turb, state.surf, self.atm,
                     self.cfg.ug, self.cfg.vg, self.cfg.z0)
@@ -129,7 +133,12 @@ class Model:
                 rhsurf=cfg.rhsurf, ltwcst=cfg.ltwcst, ntwopt=cfg.ntwopt)
             state = state.replace(met=met, surf=surf_state)
         else:
-            raise NotImplementedError("soil surface (isurf=1) lands with surf1")
+            surf_state = surface.soil(state.surf, grids.soil, dd)
+            state = state.replace(surf=surf_state)
+            met, surf_state = surface.surf1(
+                self.clarke, state.met, state.surf, state.rad, self.atm,
+                grids.soil, dd)
+            state = state.replace(met=met, surf=surf_state)
 
         tim = state.tim.replace(time=state.tim.time + dd)
         return state.replace(tim=tim)
@@ -154,6 +163,12 @@ class Model:
         lst = lst % 24
         state = state.replace(tim=state.tim.replace(lmin=lmin, lst=lst,
                                                     lday=lday))
+
+        # particle dry deposition velocities, once per minute
+        if not self.cfg.chamber:
+            from .physics.sedimentation import partdep
+            vd, xra = partdep(self, state)
+            state = state.replace(micro=state.micro.replace(vd=vd, xra=xra))
 
         for _ in range(6):
             state = self.substep(state, 10.0)

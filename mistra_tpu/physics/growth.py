@@ -1,0 +1,360 @@
+"""Condensational droplet growth on the 2-D spectral bin grid.
+
+Reference parity: ``kon`` (str.f90:4478-4795) per-level growth driver,
+``subkon`` (str.f90:4987-5204) Davies growth equation with Pruppacher &
+Klett kinetic corrections and a Newton iteration on the mean saturation,
+``advec`` (str.f90:5321-5516) Bott positive-definite polynomial flux
+advection along the water-mass axis with per-bin Courant time splitting.
+
+TPU-first: all levels are processed in parallel (vmap over the level axis);
+the per-source-bin characteristic walk of ``advec`` becomes a fixed-bound
+masked loop vectorized over (level, dry-bin, water-bin); the final deposit
+is a one-hot matmul scatter (MXU-friendly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CP, PI, R0, R1, RHOW
+
+
+# --- small thermodynamic helper functions (str.f90:7640-7693, 5216-5320) ---
+
+def xl21(t):
+    """Latent heat of vaporisation [J/kg]."""
+    return 3138708.0 - 2339.4 * t
+
+
+def diff_wat_vap(t, p):
+    """Diffusivity of water vapour in air [m2/s] (P&K 13-3)."""
+    cst2 = 0.211e-4 * 101325.0 / (273.15 ** 1.94)
+    return cst2 * t ** 1.94 / p
+
+
+def therm_conduct_air(t):
+    """Thermal conductivity of air [J/(m s K)] (S&P 17.71)."""
+    return 4.39e-3 + 7.1e-5 * t
+
+
+def p21(t):
+    return 610.7 * jnp.exp(17.15 * (t - 273.15) / (t - 38.33))
+
+
+# --------------------------------------------------------------------------
+# Bott flux-form advection along the (log-equidistant) water-mass axis
+# --------------------------------------------------------------------------
+
+YMIN = 1.0e-32
+
+
+def bott_bin_advection(dt, u, z):
+    """Advect bin contents z along the bin axis with velocities u.
+
+    Args:
+      dt: timestep (scalar).
+      u: [..., nkt] velocity in bins/time at each bin (piecewise constant).
+      z: [..., nkt] bin contents (number densities).
+
+    Returns [..., nkt] advected contents.  Bins with fewer than YMIN
+    particles are dropped, matching the reference's significance cutoff.
+
+    Method: each source bin's content is traced along the characteristic
+    through the bin-indexed velocity field (integer jumps with per-bin time
+    splitting, str.f90:5427-5454), then deposited onto the two bracketing
+    destination bins using a Bott polynomial (order 1/2/4 by source
+    position) for the fractional part.
+    """
+    nkt = z.shape[-1]
+    dtype = z.dtype
+    i = jnp.arange(nkt)
+
+    def take_u(k):
+        return jnp.take_along_axis(
+            jnp.broadcast_to(u, z.shape), jnp.clip(k, 0, nkt - 1), axis=-1)
+
+    # ---- characteristic walk (fixed bound, masked) ------------------------
+    k = jnp.broadcast_to(i, z.shape)
+    u0 = jnp.broadcast_to(u, z.shape)
+    zero_u0 = u0 == 0.0
+    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u0), 1e-300), dt)
+    x0 = jnp.where(zero_u0, k.astype(dtype), k + u0 * dt0)
+    dt1 = jnp.where(zero_u0, 0.0, dt - dt0)
+    # status: 0 = walking, 1 = deposited early (x0 integer position)
+    status = jnp.where(zero_u0, 1, 0)
+    k1 = k
+    k2 = jnp.full_like(k, -99)
+
+    def body(_, carry):
+        k, k1, k2, dt1, x0, status = carry
+        active = (status == 0) & (dt1 > 1.0e-7)
+        uk = take_u(k)
+        k_new = jnp.where(uk < 0.0, k - 1, k + 1)
+        osc = k_new == k2
+        u_new = take_u(k_new)
+        zero_u = u_new == 0.0
+        stop_here = active & (osc | zero_u)
+        status = jnp.where(stop_here, 1, status)
+        x0 = jnp.where(stop_here, k_new.astype(dtype), x0)
+        cont = active & ~osc & ~zero_u
+        dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u_new), 1e-300), dt1)
+        x0 = jnp.where(cont, k_new + u_new * dt0, x0)
+        dt1 = jnp.where(cont, dt1 - dt0, dt1)
+        k2 = jnp.where(cont, k1, k2)
+        k1 = jnp.where(cont, k_new, k1)
+        k = jnp.where(cont, k_new, k)
+        return (k, k1, k2, dt1, x0, status)
+
+    k, k1, k2, dt1, x0, status = jax.lax.fori_loop(
+        0, nkt + 2, body, (k, k1, k2, dt1, x0, status))
+
+    # ---- deposit with Bott polynomial for the fractional position ---------
+    k_low = jnp.floor(x0).astype(jnp.int32)
+    c0 = x0 - k_low
+    k_low = jnp.clip(k_low, 0, nkt - 1)
+    k_high = jnp.clip(k_low + 1, 0, nkt - 1)
+
+    def nb(off):
+        # neighbour z[i+off]; wraparound lanes are masked by the order
+        # selection below (edge bins use lower-order polynomials)
+        return jnp.roll(z, -off, axis=-1)
+
+    zm2, zm1, zp1, zp2 = nb(-2), nb(-1), nb(1), nb(2)
+    al = 1.0 - 2.0 * c0
+    al2 = al * al
+    al3 = al2 * al
+
+    # order 1 (first/last bin)
+    x1_o1 = c0 * z
+    # order 2 (second / second-last bin)
+    a0_2 = (26.0 * z - zp1 - zm1) / 24.0
+    a1_2 = (zp1 - zm1) / 16.0
+    a2_2 = (zp1 + zm1 - 2.0 * z) / 48.0
+    x1_o2 = jnp.minimum(z, a0_2 * c0 + a1_2 * (1.0 - al2)
+                        + a2_2 * (1.0 - al2 * al))
+    # order 4 (interior)
+    a0_4 = (9.0 * (zp2 + zm2) - 116.0 * (zp1 + zm1) + 2134.0 * z) / 1920.0
+    a1_4 = (-5.0 * (zp2 - zm2) + 34.0 * (zp1 - zm1)) / 384.0
+    a2_4 = (-zp2 + 12.0 * (zp1 + zm1) - 22.0 * z - zm2) / 384.0
+    a3_4 = (zp2 - 2.0 * (zp1 - zm1) - zm2) / 768.0
+    a4_4 = (zp2 - 4.0 * (zp1 + zm1) + 6.0 * z + zm2) / 3840.0
+    x1_o4 = jnp.minimum(z, a0_4 * c0 + a1_4 * (1.0 - al2)
+                        + a2_4 * (1.0 - al3) + a3_4 * (1.0 - al2 * al2)
+                        + a4_4 * (1.0 - al2 * al3))
+
+    order1 = (i == 0) | (i == nkt - 1)
+    order2 = (i == 1) | (i == nkt - 2)
+    x1 = jnp.where(order1, x1_o1, jnp.where(order2, x1_o2, x1_o4))
+    x1 = jnp.maximum(0.0, x1)
+    x1 = jnp.where(c0 > 0.0, x1, 0.0)
+
+    active_src = z >= YMIN
+    w_lo = jnp.where(active_src, z - x1, 0.0)
+    w_hi = jnp.where(active_src, x1, 0.0)
+
+    oh_lo = jax.nn.one_hot(k_low, nkt, dtype=dtype)
+    oh_hi = jax.nn.one_hot(k_high, nkt, dtype=dtype)
+    y = jnp.einsum("...s,...sd->...d", w_lo, oh_lo) \
+        + jnp.einsum("...s,...sd->...d", w_hi, oh_hi)
+    return y
+
+
+# --------------------------------------------------------------------------
+# subkon: per-level condensation solve (vectorized over levels by vmap)
+# --------------------------------------------------------------------------
+
+def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
+           qabs_kr, sr_coeff, micro):
+    """Condensational growth for one level.
+
+    Args (per level; vmapped by the caller):
+      ffk: [nkt, nka] spectrum.  totr: [mb] band radiation.  scalars as in
+      the reference.  qabs_kr: [mb, nkt, nka] absorption efficiencies for
+      the level's (already resolved) aerosol type.  sr_coeff: (a0m, b0m[nka]).
+      micro: static MicroGrid.
+
+    Returns (ffk', to, xm1o, n_iter_converged).
+    """
+    nkt, nka = ffk.shape
+    dtype = ffk.dtype
+    a0m, b0m = sr_coeff
+    e = jnp.asarray(micro.e, dtype)
+    ew = jnp.asarray(micro.ew, dtype)
+    en = jnp.asarray(micro.en, dtype)
+    dew = jnp.asarray(micro.dew, dtype)
+    rw = jnp.asarray(micro.rw, dtype)         # [nkt, nka]
+    dlne = micro.dlne
+
+    to = to_in
+    xm1o = xm1o_in
+
+    zxl21 = xl21(to)
+    xldcp = zxl21 / CP
+    xka = therm_conduct_air(to)
+    xdv = diff_wat_vap(to, pp)
+    xl = 24.483 * to / pp
+    deltav = 1.3 * xl
+    deltat = 2.7 * xl
+    rho = pp / (R0 * to * (1.0 + 0.61 * xm1o))
+    rho21 = p21(to) / (R1 * to)
+    rho21s = (zxl21 / (R1 * to) - 1.0) * rho21 / to
+    a0 = a0m / to
+    xdv0 = xdv * jnp.sqrt(2.0 * PI / (R1 * to)) / 3.6e-8
+    xka0 = xka * jnp.sqrt(2.0 * PI / (R0 * to)) / (7.0e-7 * rho * CP)
+
+    # growth coefficient cd and radiative term cr per bin
+    sr = jnp.maximum(0.1, jnp.exp(a0 / rw - b0m[None, :] * en[None, :]
+                                  / ew[:, None]))
+    xdvs = xdv / (rw / (rw + deltav) + xdv0 / rw)
+    xkas = xka / (rw / (rw + deltat) + xka0 / rw)
+    x1 = RHOW * (zxl21 + xkas / (xdvs * rho21s * sr))
+    cd = 3.0e12 * rho21 * xkas / (x1 * rw * rw * rho21s * sr)
+
+    # radiation term: IR-only at night (totr[0] < 1)
+    ib0_solar = totr[0] >= 1.0
+    band_w = jnp.where(jnp.arange(totr.shape[0]) >= 6, 1.0,
+                       jnp.where(ib0_solar, 1.0, 0.0))
+    de0 = dew                                   # [nkt]
+    dep = jnp.concatenate([dew[1:], dew[-1:]])  # dew[min(jt+1, nkt-1)]
+    qabs_c = qabs_kr                            # [mb, nkt, nka]
+    qabs_p = jnp.concatenate([qabs_c[:, 1:, :], qabs_c[:, -1:, :]], axis=1)
+    rad = jnp.einsum("b,b,btk->tk", totr, band_w,
+                     (qabs_c * de0[None, :, None]
+                      + qabs_p * dep[None, :, None])) / (de0 + dep)[:, None]
+    cr = rad * 7.5e5 / (rw * x1) - RHOW * 4190.0 * (tn - to) / (dt * x1)
+
+    falt = ffk
+
+    feuneu0 = jnp.where(feualt < 0.95,
+                        xm1n * pp / (p21(tn) * (0.62198 + 0.37802 * xm1n)),
+                        feualt + dfdt * dt)
+    fquer0 = 0.5 * (feuneu0 + feualt)
+    aa0 = 1.0 / dt
+
+    def body(itk, carry):
+        ffk, to, xm1o, fquer, fqa, res_prev, done = carry
+        c = (cd * (fquer - sr) - cr) / dlne          # [nkt, nka]
+        # staggered velocities along the water-mass axis per dry bin
+        c_t = c.T                                    # [nka, nkt]
+        u_mid = 0.5 * (c_t[:, 1:-1] + jnp.abs(c_t[:, 1:-1])
+                       + c_t[:, :-2] - jnp.abs(c_t[:, :-2]))
+        u = jnp.concatenate([
+            jnp.maximum(0.0, c_t[:, :1]), u_mid,
+            jnp.minimum(0.0, c_t[:, -2:-1])], axis=1)  # [nka, nkt]
+        psi = bott_bin_advection(dt, u, falt.T).T     # [nkt, nka]
+        dwsum = jnp.sum((psi - falt) * e[:, None])
+        dmsum = dwsum / rho
+        dtsum = xldcp * dmsum
+        xm1o_new = xm1n - dmsum
+        to_new = tn + dtsum
+        p1 = xm1o_new * pp / (0.62198 + 0.37802 * xm1o_new)
+        feuneu = p1 / p21(to_new)
+        res = feuneu + feualt - 2.0 * fquer
+        conv = jnp.abs(res) < 1.0e-6
+        dres = res - res_prev
+        aa = jnp.where((itk > 0) & (jnp.abs(dres) > 1.0e-8),
+                       (fqa - fquer) / dres, aa0)
+        fquer_new = fquer + aa * res
+
+        upd = ~done
+        ffk = jnp.where(upd, psi, ffk)
+        to = jnp.where(upd, to_new, to)
+        xm1o = jnp.where(upd, xm1o_new, xm1o)
+        fqa = jnp.where(upd, fquer, fqa)
+        fquer = jnp.where(upd, fquer_new, fquer)
+        res_out = jnp.where(upd, res, res_prev)
+        done = done | conv
+        return (ffk, to, xm1o, fquer, fqa, res_out, done)
+
+    init = (ffk, to, xm1o, fquer0, fquer0, jnp.zeros((), dtype),
+            jnp.zeros((), bool))
+    ffk, to, xm1o, _, _, _, done = jax.lax.fori_loop(0, 10, body, init)
+    return ffk, to, xm1o, done
+
+
+# --------------------------------------------------------------------------
+# kon: growth driver over all prognostic levels
+# --------------------------------------------------------------------------
+
+def kon(model, state, dt):
+    """Condensation/evaporation update of levels 1..nf (0-based)."""
+    cfg = model.cfg
+    gp = cfg.grid
+    nf, n = gp.nf, gp.n
+    micro_grid = model.grids.micro
+    a0m = model.consts["a0m"]
+    b0m = jnp.asarray(model.consts["b0m"], state.met.t.dtype)
+    qabs = model.consts.get("qabs")
+    dtype = state.met.t.dtype
+    if qabs is None:
+        qabs = jnp.zeros((gp.mb, gp.nkt, gp.nka, 3), dtype)
+    else:
+        qabs = jnp.asarray(qabs, dtype)
+
+    met, mic = state.met, state.micro
+    lev = jnp.arange(n)
+    sel = (lev >= 1) & (lev <= nf)  # reference levels 2..nf+1
+
+    # recompute rH where it fell below the Koehler branch threshold
+    feu_dry = met.xm1 * met.p / ((0.62198 + 0.37802 * met.xm1) * p21(met.t))
+    dry = met.feu < 0.7
+    feu_eff = jnp.where(dry, feu_dry, met.feu)
+
+    # --- dry branch: Koehler equilibrium redistribution --------------------
+    from .microphysics import equil_redistribute
+    ff_eq, xm2_eq = equil_redistribute(
+        mic.ff, met.t, feu_eff, micro_grid, a0m, b0m,
+        level_mask=sel & dry, collapse=True)
+
+    # --- moist branch: condensational growth (vmapped over levels) ---------
+    # resolve the sticky aerosol-type index of the reference (str.f90:5131)
+    kr = int(model.consts.get("nar", [cfg.iaertyp] * n)[1])
+    if kr == 3 and micro_grid.rn[0] < 0.5:
+        kr = 2
+    qabs_kr = qabs[:, :, :, kr - 1]
+
+    ff_lv = jnp.moveaxis(mic.ff, 2, 0)  # [n, nkt, nka]
+
+    def one_level(ffk, totr, dfdt, feualt, pp, to, tn, xm1o, xm1n):
+        return subkon(dt, ffk, totr, dfdt, feualt, pp, to, tn, xm1o, xm1n,
+                      qabs_kr, (a0m, b0m), micro_grid)
+
+    ffk_new, to_new, xm1o_new, _ = jax.vmap(one_level)(
+        ff_lv, state.rad.totrad.T, met.dfddt, feu_eff, met.p, met.talt,
+        met.t, met.xm1a, met.xm1)
+
+    ff_moist = jnp.moveaxis(ffk_new, 0, 2)
+    e = jnp.asarray(micro_grid.e, dtype)
+    xm2_moist = jnp.einsum("tan,t->n", ff_moist, e)
+    feu_moist = xm1o_new * met.p / ((0.62198 + 0.37802 * xm1o_new)
+                                    * p21(to_new))
+
+    # --- merge branches ----------------------------------------------------
+    moist = sel & ~dry
+    ff = jnp.where(moist[None, None, :], ff_moist,
+                   jnp.where((sel & dry)[None, None, :], ff_eq, mic.ff))
+    t = jnp.where(moist, to_new, met.t)
+    talt = jnp.where(moist, to_new, met.talt)
+    xm1 = jnp.where(moist, xm1o_new, met.xm1)
+    xm1a = jnp.where(moist, xm1o_new, met.xm1a)
+    feu = jnp.where(moist, feu_moist, feu_eff)
+    feu = jnp.where(sel, feu, met.feu)
+    dfddt = jnp.where(moist, (feu_moist - feu_eff) / dt, met.dfddt)
+    xm2 = jnp.where(moist, xm2_moist,
+                    jnp.where(sel & dry, xm2_eq, met.xm2))
+
+    # --- cloud base / top diagnostics (str.f90:4768-4776) -----------------
+    cloudy = (xm2 > 1.0e-5) & (lev <= nf)
+    any_cloud = jnp.any(cloudy)
+    lct = jnp.where(any_cloud,
+                    jnp.max(jnp.where(cloudy, lev, 0)), 0).astype(jnp.int32)
+    lcl = jnp.where(any_cloud,
+                    jnp.min(jnp.where(cloudy, lev, n + 99)),
+                    lct).astype(jnp.int32)
+    lcl = jnp.minimum(lcl, lct)
+
+    met = met.replace(t=t, talt=talt, xm1=xm1, xm1a=xm1a, feu=feu,
+                      dfddt=dfddt, xm2=xm2)
+    mic = mic.replace(ff=ff, fsum=jnp.sum(ff, axis=(0, 1)), lcl=lcl, lct=lct)
+    return state.replace(met=met, micro=mic)

@@ -67,12 +67,18 @@ class SurfaceState:
     tb: jnp.ndarray       # [nb] soil temperature [K]
     eb: jnp.ndarray       # [nb] soil volumetric moisture [m3/m3]
     # surface flux / deposit accumulators (cb47)
-    ajs: jnp.ndarray      # sensible heat flux accumulator
+    ajs: jnp.ndarray      # droplet sedimentation water flux [kg/m2/s]
     ds1: jnp.ndarray      # deposited aerosol mass
     ds2: jnp.ndarray      # deposited water mass
     trdep: jnp.ndarray    # total deposited particles
-    tau: jnp.ndarray
-    reif: jnp.ndarray
+    tau: jnp.ndarray      # dew reservoir [kg/m2]
+    reif: jnp.ndarray     # rime reservoir [kg/m2]
+    ajb: jnp.ndarray      # soil heat flux
+    ajq: jnp.ndarray      # surface moisture flux
+    ajl: jnp.ndarray      # latent enthalpy flux
+    ajt: jnp.ndarray      # sensible enthalpy flux
+    ajm: jnp.ndarray      # ground moisture flux
+    ajd: jnp.ndarray      # dew flux
 
 
 @struct.dataclass
@@ -82,6 +88,8 @@ class MicroState:
     fsum: jnp.ndarray     # [n] total particle number [1/cm3]
     lcl: jnp.ndarray      # cloud base layer index (0-based, int32)
     lct: jnp.ndarray      # cloud top layer index (0-based, int32)
+    vd: jnp.ndarray       # [nkt, nka] particle dry deposition velocity [m/s]
+    xra: jnp.ndarray      # aerodynamic resistance [s/m]
 
 
 @struct.dataclass
@@ -90,6 +98,8 @@ class RadState:
     dtrad: jnp.ndarray    # [n] radiative heating rate [K/s]
     totrad: jnp.ndarray   # [mb, n] band-integrated actinic term for growth
     u0: jnp.ndarray       # cosine of solar zenith angle
+    sk: jnp.ndarray       # net solar radiation flux at the surface [W/m2]
+    sl: jnp.ndarray       # downward longwave flux at the surface [W/m2]
 
 
 @struct.dataclass
@@ -135,8 +145,10 @@ def zeros_state(cfg: MistraConfig, grids: Grids) -> ModelState:
                        tkepd=z(n)),
         surf=SurfaceState(tw=z(), ustern=z(), z0=z(), gclu=z(), gclt=z(),
                           tb=z(nb), eb=z(nb), ajs=z(), ds1=z(), ds2=z(),
-                          trdep=z(), tau=z(), reif=z()),
-        micro=MicroState(ff=z(nkt, nka, n), fsum=z(n), lcl=zi(), lct=zi()),
-        rad=RadState(dtrad=z(n), totrad=z(mb, n), u0=z()),
+                          trdep=z(), tau=z(), reif=z(), ajb=z(), ajq=z(),
+                          ajl=z(), ajt=z(), ajm=z(), ajd=z()),
+        micro=MicroState(ff=z(nkt, nka, n), fsum=z(n), lcl=zi(), lct=zi(),
+                         vd=z(nkt, nka), xra=z()),
+        rad=RadState(dtrad=z(n), totrad=z(mb, n), u0=z(), sk=z(), sl=z()),
         tim=TimeState(time=z(), lday=zi(), lst=zi(), lmin=zi(), kinv=zi()),
     )

@@ -9,4 +9,11 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; this config
+# update is the reliable way to keep tests off the (shared) TPU chip.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: recompiles across test runs are the
+# dominant cost on this 2-CPU machine
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

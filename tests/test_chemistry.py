@@ -1,0 +1,110 @@
+"""Chemistry engine tests: mechanism parsing, rate laws, Ros3 integration."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mistra_tpu.chemistry.gas_kernel import GasKernel, load_species_csv
+from mistra_tpu.chemistry.mech import load_gas_mechanism, parse_eqn
+from mistra_tpu.chemistry.rates import RateEnv
+
+MECHDIR = "/root/reference/src/mech/"
+
+
+def _env(B=1, te=288.15, dark=True):
+    am3 = 101325.0 / (8.3144743 * te)
+    cm3 = am3 * 6.022140857e17
+    ph = jnp.zeros((B, 47))
+    return RateEnv(te=jnp.full((B,), te), aircc=jnp.full((B,), cm3),
+                   h2oppm=jnp.full((B,), 1.2e4),
+                   pk=jnp.full((B,), 101325.0), ph_rat=ph), am3
+
+
+class TestToyMechanism:
+    def test_linear_chain_analytic(self):
+        toy = parse_eqn("{t1} A = B : 1.0 ;\n{t2} B = CC : 0.5 ;",
+                        fixed=())
+        kern = GasKernel(toy)
+        env, _ = _env()
+        k = kern.rate_constants(env)
+        y0 = jnp.array([[1.0, 0.0, 0.0]])
+        fix = jnp.zeros((1, 0))
+        y, info = kern.integrate(y0, k, fix, 2.0)
+        A = math.exp(-2.0)
+        B = (math.exp(-2.0) - math.exp(-1.0)) / (0.5 - 1.0) * 0.5 * 2 \
+            if False else 1.0 / (0.5 - 1.0) * (math.exp(-2.0)
+                                               - math.exp(-1.0))
+        C = 1.0 - A - B
+        np.testing.assert_allclose(np.asarray(y[0]), [A, B, C], rtol=1e-3)
+        assert bool(info["done"][0])
+
+    def test_jacobian_matches_autodiff(self):
+        import jax
+        toy = parse_eqn(
+            "{t1} A + B = CC : 2.0 ;\n{t2} CC = A + B : 0.3 ;\n"
+            "{t3} A + A = B : 0.1 ;", fixed=())
+        kern = GasKernel(toy)
+        env, _ = _env()
+        k = kern.rate_constants(env)
+        fix = jnp.zeros((1, 0))
+        y = jnp.array([[0.5, 1.5, 0.7]])
+        J = np.asarray(kern.jac(y, k, fix)[0])
+        J_ad = np.asarray(jax.jacobian(
+            lambda yy: kern.fun(yy[None], k, fix)[0])(y[0]))
+        np.testing.assert_allclose(J, J_ad, rtol=1e-12)
+
+
+class TestGasMechanism:
+    @pytest.fixture(scope="class")
+    def mech(self):
+        return load_gas_mechanism(MECHDIR)
+
+    def test_mechanism_size(self, mech):
+        # 95 variable species / 323 active reactions parsed from
+        # master_gas.eqn (the reference's 102/331 counts include dummy
+        # species and the dry-het reactions from gas.eqn)
+        assert mech.nvar >= 90
+        assert mech.nrxn >= 320
+        assert mech.fixed == ["O2", "N2", "H2O"]
+        # every reaction has at most 3 reactant slots, all valid
+        assert mech.ridx.shape[1] == 3
+
+    def test_mass_action_stoichiometry(self, mech):
+        # O1D + O2 = O3P: first reaction consumes O1D, produces O3P
+        rx = mech.reactions[0]
+        assert rx.label == "O1"
+        sp = {s: i for i, s in enumerate(mech.species)}
+        assert mech.stoich[0, sp["O1D"]] == -1
+        assert mech.stoich[0, sp["O3P"]] == 1
+
+    def test_dark_stability_and_positivity(self, mech):
+        kern = GasKernel(mech)
+        env, am3 = _env(B=2)
+        sp_csv = load_species_csv(MECHDIR + "gas_species.csv")
+        name2i = {s: i for i, s in enumerate(mech.species)}
+        y0 = np.zeros((2, mech.nvar))
+        xm = am3 * 1e-9
+        for s in sp_csv:
+            if s["name"] in name2i:
+                y0[:, name2i[s["name"]]] = s["ground_ppb"] * xm
+        vals = {"O2": 0.21 * am3, "N2": 0.79 * am3, "H2O": 0.012 * am3}
+        fix = jnp.stack([jnp.full((2,), vals[s]) for s in mech.fixed],
+                        axis=-1)
+        k = kern.rate_constants(env, fix=fix)
+        assert bool(jnp.all(jnp.isfinite(k)))
+        y, info = kern.integrate(jnp.asarray(y0), k, fix, 10.0)
+        y = np.asarray(y)
+        assert np.all(np.isfinite(y))
+        assert np.all(y >= -1e-20)
+        assert np.all(np.asarray(info["done"]))
+        # dark, 10 s: O3 essentially unchanged
+        o3 = name2i["O3"]
+        np.testing.assert_allclose(y[0, o3], y0[0, o3], rtol=1e-4)
+        # halved steps give the same answer (adaptive-solver consistency)
+        y_half1, _ = kern.integrate(jnp.asarray(y0), k, fix, 5.0)
+        y_half2, _ = kern.integrate(y_half1, k, fix, 5.0)
+        big = y0[0] > 1e-12
+        np.testing.assert_allclose(np.asarray(y_half2)[0][big], y[0][big],
+                                   rtol=1e-2)
