@@ -52,6 +52,8 @@ class Model:
         self.astro: AstroConsts = solar_constants(cfg)
         self.consts: dict = {}
         self._radiation = None  # installed below (or None to disable)
+        self._chemistry = None
+        self._photolysis = None
         self.radiation_enabled = True
         # device copies of the atmosphere grid in the compute dtype
         import numpy as _np
@@ -70,6 +72,13 @@ class Model:
         if self.radiation_enabled and self._radiation is None:
             from .radiation.driver import RadiationDriver
             self._radiation = RadiationDriver(self)
+        if self.cfg.chem and self._chemistry is None:
+            from .chemistry.driver import ChemistryDriver
+            self._chemistry = ChemistryDriver(self)
+        if (self.cfg.chem and self._photolysis is None
+                and self._radiation is not None):
+            from .photolysis.jrates import PhotolysisDriver
+            self._photolysis = PhotolysisDriver(self, self._radiation)
         # initial exchange coefficients (atk0)
         turb = atk0(state.met, state.turb, state.surf, self.atm,
                     self.cfg.ug, self.cfg.vg, self.cfg.z0)
@@ -84,9 +93,17 @@ class Model:
         u0 = solar_zenith(state.tim.lst, state.tim.lmin,
                           self.astro.alat, self.astro.declin)
         state = state.replace(rad=state.rad.replace(u0=u0))
+        # initial chemistry concentrations
+        if self._chemistry is not None:
+            state = state.replace(chem=self._chemistry.init_chem_state(state))
         # initial radiation call
         if self._radiation is not None:
             state = self._radiation(state, init=True)
+        # initial photolysis rates
+        if self._photolysis is not None:
+            pj = jnp.where(state.rad.u0 > self._chemistry.u0min,
+                           self._photolysis(state), 0.0)
+            state = state.replace(chem=state.chem.replace(photol_j=pj))
         return state
 
     # ------------------------------------------------------------------
@@ -103,6 +120,13 @@ class Model:
             cfg.ug, cfg.vg)
         state = state.replace(met=met, turb=turb,
                               tim=state.tim.replace(kinv=kinv))
+
+        # turbulent exchange of chemical species
+        if self._chemistry is not None:
+            out = diffusion.difc({"sgas": state.chem.sgas.T}, state.met,
+                                 state.turb, self.atm, dd)
+            state = state.replace(
+                chem=state.chem.replace(sgas=out["sgas"].T))
 
         if cfg.mic:
             micro = diffusion.difp(state.micro, state.met, state.turb,
@@ -139,6 +163,16 @@ class Model:
                 self.clarke, state.met, state.surf, state.rad, self.atm,
                 grids.soil, dd)
             state = state.replace(met=met, surf=surf_state)
+
+        # gas-phase chemistry: surface exchange then stiff integration
+        if self._chemistry is not None:
+            vg = self._chemistry.gasdrydep(state)
+            chem = state.chem.replace(vg=vg)
+            chem = self._chemistry.sedc(chem, dd, self.atm.deta[1],
+                                        self.atm.detw[1])
+            state = state.replace(chem=chem)
+            chem = self._chemistry.integrate_column(state, dd)
+            state = state.replace(chem=chem)
 
         tim = state.tim.replace(time=state.tim.time + dd)
         return state.replace(tim=tim)
@@ -179,6 +213,23 @@ class Model:
         state = state.replace(rad=state.rad.replace(u0=u0))
         if self._radiation is not None:
             state = self._radiation(state, init=False)
+
+        # photolysis rates: recompute on even minutes when the sun is up,
+        # hold when sun up on odd minutes, zero when dark (str.f90:445-476)
+        if self._photolysis is not None:
+            u0min = self._chemistry.u0min
+            even = state.tim.lmin % 2 == 0
+            compute = (u0 > u0min) & even
+
+            def do_phot(s):
+                return self._photolysis(s)
+
+            def keep(s):
+                return s.chem.photol_j
+
+            pj = jax.lax.cond(compute, do_phot, keep, state)
+            pj = jnp.where(u0 > u0min, pj, 0.0)
+            state = state.replace(chem=state.chem.replace(photol_j=pj))
         return state
 
     # ------------------------------------------------------------------
