@@ -1,0 +1,106 @@
+"""Chemistry diagnostics: family mass closure and per-reaction budgets.
+
+Parity map: ``mass_ch`` (kpp.f90:5900-6181) column totals of the Cl / Br /
+I / S element families across gas and aqueous phases, used as an in-run
+conservation assertion; the ``bud_*`` files (C33) record per-reaction
+instantaneous and cumulative rates.  With mechanism-as-data both are
+generic: element counts come from parsing species names, reaction rates
+from the packed rate vector.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def element_counts(species: list, element: str) -> np.ndarray:
+    """Number of atoms of ``element`` in each species, parsed from the
+    conventional species names (Cl2 -> 2, BrCl -> 1, CH2I2 -> 2...)."""
+    counts = np.zeros(len(species))
+    pat = re.compile(rf"{element}(?![a-z])([0-9]*)")
+    for i, name in enumerate(species):
+        # strip aqueous-bin suffixes (l1..l4) and charge markers (m/p)
+        base = re.sub(r"l[1-4]$", "", name)
+        for m in pat.finditer(base):
+            counts[i] += int(m.group(1)) if m.group(1) else 1
+    return counts
+
+
+def family_column_totals(sgas, species, detw, elements=("Cl", "Br", "I",
+                                                        "S", "N")):
+    """Column-integrated element totals [mol/m2] per family.
+
+    sgas: [nvar, n] concentrations [mol/m3]; detw: [n] layer thicknesses.
+    """
+    out = {}
+    for el in elements:
+        cnt = jnp.asarray(element_counts(species, el), sgas.dtype)
+        out[el] = jnp.einsum("sn,s,n->", sgas, cnt, detw)
+    return out
+
+
+class BudgetAccumulator:
+    """Per-reaction rate budgets at selected levels (reference bud_gas:
+    bg(1,:,:) instantaneous, bg(2,:,:) cumulative; bud_g.f:18-403)."""
+
+    def __init__(self, nrxn: int, levels):
+        self.levels = np.asarray(levels)
+        self.inst = np.zeros((nrxn, len(levels)))
+        self.cum = np.zeros((nrxn, len(levels)))
+
+    def update(self, rates_by_level, dt):
+        """rates_by_level: [nlev_selected, nrxn] reaction rates [mol/m3/s]."""
+        r = np.asarray(rates_by_level).T
+        self.inst = r
+        self.cum = self.cum + r * dt
+
+
+# charge of an ion species from its name: trailing 'm'/'p' repeated or
+# with digit (SO42m => -2, Hp => +1, Cl2m => -1? no: Cl2m is Cl2^-)
+_CHARGE_RE = re.compile(r"([mp])$")
+
+
+def ion_charge(name: str) -> int:
+    """Signed charge parsed from the species naming convention
+    (...m = anion, ...p = cation; SO42m/SO32m/CO32m carry charge -2)."""
+    base = re.sub(r"l[1-4]$", "", name)
+    if base.endswith("m"):
+        return -2 if base in ("SO42m", "SO32m", "CO32m") else -1
+    if base.endswith("p"):
+        return 1
+    return 0
+
+
+def ion_balance(conc, species, species_bin, nkc):
+    """Net charge [mol/m3] per chemistry bin (ion_mass, str.f90:6503-
+    6612); exact electro-neutrality is not expected because Na+ is
+    implicit, but drift in time indicates a bug."""
+    out = []
+    z = np.array([ion_charge(s) for s in species])
+    for kc in range(1, nkc + 1):
+        sel = (species_bin == kc) & (z != 0)
+        idx = np.nonzero(sel)[0]
+        if idx.size == 0:
+            out.append(jnp.zeros(conc.shape[1], conc.dtype))
+            continue
+        zz = jnp.asarray(z[idx], conc.dtype)
+        out.append(jnp.einsum("sn,s->n", conc[jnp.asarray(idx)], zz))
+    return jnp.stack(out)
+
+
+def total_aqueous_mass(conc, species, species_bin, molar_mass):
+    """Total dissolved mass [g/m3] per bin (out_mass, str.f90:7114-7228).
+
+    molar_mass: dict name -> kg/mol (falls back to 0 for unknown)."""
+    nkc = int(species_bin.max()) if species_bin.size else 0
+    out = []
+    for kc in range(1, nkc + 1):
+        idx = np.nonzero(species_bin == kc)[0]
+        mm = jnp.asarray([molar_mass.get(re.sub(r"l[1-4]$", "",
+                                                species[i]), 0.0) * 1e3
+                          for i in idx], conc.dtype)
+        out.append(jnp.einsum("sn,s->n", conc[jnp.asarray(idx)], mm))
+    return jnp.stack(out) if out else jnp.zeros((0, conc.shape[1]))

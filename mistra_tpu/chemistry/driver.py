@@ -101,6 +101,39 @@ class ChemistryDriver:
         # molar masses [kg/mol] for vmean (CSV + common radical defaults)
         self.mass = {s["name"]: s["mass"] for s in self.csv}
 
+        # eulerian advection source (neula=0; euler_in.dat,
+        # kpp.f90:290-306, applied :4441-4448)
+        self.advect = []
+        if cfg.neula == 0:
+            byidx = {s["index"]: s["name"] for s in self.csv}
+            with open(f"{cfg.mechdir.rstrip('/')}/euler_in.dat") as f:
+                lines = [l for l in f if l.strip()
+                         and not l.lstrip().startswith("!")]
+            nadv = int(lines[0].split()[0])
+            for line in lines[1:1 + nadv]:
+                toks = line.split()
+                gidx = int(toks[0])
+                if gidx == 0 or byidx.get(gidx) not in self.name2i:
+                    continue
+                xadv = float(toks[1].lower().replace("d", "e"))
+                self.advect.append((byidx[gidx], xadv))
+
+    # ------------------------------------------------------------------
+    def eulerian_advection(self, chem, kinv, am3, dt):
+        """Large-scale advective source below the inversion
+        (kpp_driver, kpp.f90:4441-4448): xadv in mol/mol/day."""
+        if not self.advect:
+            return chem
+        conc = chem.conc if hasattr(chem, "conc") else chem.sgas
+        n2i = getattr(self, "tot_n2i", self.name2i)
+        lev = jnp.arange(conc.shape[1])
+        below = (lev >= 1) & (lev <= kinv)
+        for name, xadv in self.advect:
+            add = jnp.where(below, xadv * dt * am3 / 86400.0, 0.0)
+            conc = conc.at[n2i[name]].add(add.astype(conc.dtype))
+        return chem.replace(conc=conc) if hasattr(chem, "conc") \
+            else chem.replace(sgas=conc)
+
     # ------------------------------------------------------------------
     def init_chem_state(self, state) -> GasChemState:
         """Initial exponential concentration profiles (initc)."""

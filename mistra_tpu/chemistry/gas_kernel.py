@@ -81,6 +81,13 @@ class GasKernel:
         r = k * jnp.prod(cr, axis=-1)                # [B, nrxn]
         return r @ self.stoich                       # [B, nvar]
 
+    def reaction_rates(self, y, k, fix):
+        """Per-reaction mass-action rates [B, nrxn] (mol/m3/s), the
+        quantity the reference budget files record (bud_g.f A(i)=RCT*...)."""
+        cx = self._cx(y, fix)
+        cr = cx[:, self.ridx]
+        return k * jnp.prod(cr, axis=-1)
+
     def jac(self, y, k, fix):
         """Dense Jacobian [B, nvar, nvar]."""
         cx = self._cx(y, fix)

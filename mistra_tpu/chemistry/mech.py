@@ -36,6 +36,8 @@ class Mechanism:
     species: list                  # variable species names (order = index)
     fixed: list                    # fixed species names
     reactions: list                # [Reaction]
+    bins: tuple = ()               # active aqueous bins (multiphase)
+    species_bin: np.ndarray = None # [nvar] aqueous bin of species (0 = gas)
     # packed arrays (built by finalize)
     stoich: np.ndarray = None      # [nrxn, nvar] net stoichiometry
     ridx: np.ndarray = None        # [nrxn, MAX_REACTANTS] reactant indices
@@ -103,19 +105,32 @@ def _pythonize_rate(expr: str) -> str:
 
 
 def _parse_side(side: str, is_lhs: bool):
-    """Parse one side of an equation into [(species, coeff)]."""
+    """Parse one side of an equation into [(species, coeff)]; products may
+    carry negative stoichiometry ("A - Hplz", master_aqueous.eqn)."""
     out = []
-    for term in side.split("+"):
+    # split into signed terms
+    tokens = re.split(r"(?=[+-])", " " + side.strip())
+    for term in tokens:
         term = term.strip()
+        if not term:
+            continue
+        sign = 1.0
+        if term[0] == "+":
+            term = term[1:].strip()
+        elif term[0] == "-":
+            sign = -1.0
+            term = term[1:].strip()
         if not term:
             continue
         m = re.match(r"^([0-9.]+)?\s*([A-Za-z][A-Za-z0-9_]*)$", term)
         if m is None:
             raise ValueError(f"cannot parse species term {term!r}")
-        coeff = float(m.group(1)) if m.group(1) else 1.0
+        coeff = sign * (float(m.group(1)) if m.group(1) else 1.0)
         name = m.group(2)
         if name == "hv":
             continue
+        if is_lhs and coeff < 0:
+            raise ValueError(f"negative reactant {term!r}")
         out.append((name, coeff))
     return out
 
@@ -176,3 +191,60 @@ def load_gas_mechanism(mechdir: str, fname: str = "master_gas.eqn",
     with open(f"{mechdir.rstrip('/')}/{fname}") as f:
         text = f.read()
     return parse_eqn(text, name="gas")
+
+
+# --------------------------------------------------------------------------
+# multiphase mechanism construction (replaces make_aq_mech.sc / make_kpp.sc)
+# --------------------------------------------------------------------------
+
+def _clone_aqueous(text: str, b: int) -> str:
+    """Clone the master aqueous mechanism for bin ``b`` (the csh script's
+    z -> 1..4 substitution; mech/make_aq_mech.sc:27-40)."""
+    out = text
+    out = re.sub(r",\s*z\)", f",{b})", out)          # yxkmt(ind_X, z)
+    out = re.sub(r"\(\s*z\)", f"({b})", out)         # ycw(z)
+    out = re.sub(r"\bxliqz\b", f"xliq{b}", out)
+    out = re.sub(r"\bcvvz\b", f"cvv{b}", out)
+    out = re.sub(r"\b([A-Za-z][A-Za-z0-9_]*l)z\b", rf"\g<1>{b}", out)
+    return out
+
+
+def _strip_includes(text: str) -> str:
+    return re.sub(r"#include\s+\S+", "", text, flags=re.IGNORECASE)
+
+
+def bin_of_species(name: str) -> int:
+    """Aqueous bin (1..4) of a species name, or 0 for gas phase."""
+    m = re.search(r"l([1-4])$", name)
+    return int(m.group(1)) if m else 0
+
+
+def load_multiphase_mechanism(mechdir: str, bins=(1, 2, 3, 4),
+                              name: str = "tot") -> Mechanism:
+    """Build the aer (bins 1-2) or tot (bins 1-4) mechanism from the
+    mechanism-definition sources."""
+    mechdir = mechdir.rstrip("/")
+    with open(f"{mechdir}/master_gas.eqn") as f:
+        parts = [f.read()]
+    # heterogeneous reactions on dry/liquid aerosol from the .head files
+    if name == "aer":
+        with open(f"{mechdir}/aer_eqn.head") as f:
+            parts.append(_strip_includes(f.read()))
+    else:
+        for head in ("tot_eqn12.head", "tot_eqn34.head"):
+            try:
+                with open(f"{mechdir}/{head}") as f:
+                    parts.append(_strip_includes(f.read()))
+            except FileNotFoundError:
+                pass
+    with open(f"{mechdir}/master_aqueous.eqn") as f:
+        aqueous = f.read()
+    for b in bins:
+        parts.append(_clone_aqueous(aqueous, b))
+
+    fixed = list(DEFAULT_FIXED) + [f"H2Ol{b}" for b in bins]
+    mech = parse_eqn("\n".join(parts), name=name, fixed=tuple(fixed))
+    mech.bins = tuple(bins)
+    mech.species_bin = np.array([bin_of_species(s) for s in mech.species],
+                                dtype=np.int32)
+    return mech

@@ -170,14 +170,24 @@ def make_namespace(env: RateEnv) -> dict:
         return jnp.where(d > 0.0, out, 0.0)
 
     def uplim(a, b, c, d):
-        # upper-limited first-order aqueous rate (kpp.f90:7889-7911)
-        out = jnp.minimum(a * b, 1.0) / jnp.maximum(d, 1e-300) * c
+        # diffusion-limited 1st-order backward rate (kpp.f90:7862-7881)
+        out = a / (1.0 + b / 1.0e10 * jnp.maximum(c, 0.0) * d)
+        return jnp.where(d > 0.0, out, 0.0)
+
+    def uparm(a0, b0, c, d, e):
+        # Arrhenius (298K ref) with diffusion limit (kpp.f90:7885-7907)
+        out = farr2(a0, b0) / (1.0 + c / 1.0e10 * d * e)
         return jnp.where(d > 0.0, out, 0.0)
 
     def uplip(a, b, c):
-        out = jnp.minimum(a * b * 1.0e-2, 1.0) / jnp.maximum(c, 1e-300) \
-            * 6.25e4
+        # diffusion-limited 3rd-order forward rate (kpp.f90:7909-7927)
+        out = a / (1.0 + a / 1.0e10 * jnp.maximum(b, 0.0) * c) * c ** 2
         return jnp.where(c > 0.0, out, 0.0)
+
+    def uparp(a0, b0, c, d):
+        k0 = farr2(a0, b0)
+        out = k0 / (1.0 + k0 / 1.0e10 * c * d) * d ** 2
+        return jnp.where(d > 0.0, out, 0.0)
 
     ns = {
         "farr": farr, "farr2": farr2, "farr_sp": farr_sp,
@@ -189,6 +199,7 @@ def make_namespace(env: RateEnv) -> dict:
         "surf_uptake": surf_uptake, "dmin2": dmin2, "dmin3": dmin3,
         "flsc": flsc, "flsc4": flsc4, "flsc5": flsc5, "flsc6": flsc6,
         "fliq_60": fliq_60, "uplim": uplim, "uplip": uplip,
+        "uparm": uparm, "uparp": uparp,
         "conv1": CONV1,
         "te": te, "aircc": aircc, "h2oppm": h2oppm, "pk": pk,
         "xhal": env.xhal, "xiod": env.xiod,

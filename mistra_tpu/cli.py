@@ -1,0 +1,130 @@
+"""Run harness: the reference's param/namelist launch workflow as a CLI.
+
+Parity with the bash launchers (param/param_*, C40): configuration comes
+from the INPDIR / OUTDIR / MECHDIR / NAMELIST environment variables or
+command-line flags; the run writes 15-min science output, a per-minute
+progress line (tima.out equivalent), 12-hourly restart checkpoints and a
+final restart + aerosol dump.
+
+Usage:
+    python -m mistra_tpu --namelist /path/to/namelist.BTZ96 [--hours H]
+                         [--outdir DIR] [--restart CKPT] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time as wallclock
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mistra_tpu")
+    ap.add_argument("--namelist",
+                    default=os.environ.get("NAMELIST", ""),
+                    help="Fortran namelist file (reference format)")
+    ap.add_argument("--outdir", default=os.environ.get("OUTDIR", "./output"))
+    ap.add_argument("--hours", type=float, default=None,
+                    help="override lstmax integration hours")
+    ap.add_argument("--restart", default="",
+                    help="checkpoint directory to restore from")
+    ap.add_argument("--platform", default="",
+                    help="force jax platform (e.g. cpu)")
+    ap.add_argument("--grid", default="",
+                    help="override grid sizes for quick runs, e.g. "
+                         "'nf=12,n_extra=6,nka=16,nkt=16,nb=8[,zinv=100]'")
+    ap.add_argument("--minutes", type=int, default=None,
+                    help="integrate this many minutes instead of full hours")
+    ap.add_argument("--x64", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from .config import MistraConfig, config_from_namelist
+    from .model import Model
+    from .io.checkpoint import restore_checkpoint, save_checkpoint
+    from .io.output import OutputWriter
+
+    if args.namelist:
+        cfg = config_from_namelist(args.namelist)
+    else:
+        cfg = MistraConfig()
+    if args.hours is not None:
+        cfg.lstmax = max(1, int(round(args.hours)))
+    if args.grid:
+        from .config import GridParams
+        kv = dict(p.split("=") for p in args.grid.split(","))
+        zinv = kv.pop("zinv", None)
+        cfg.grid = GridParams(**{k: int(v) for k, v in kv.items()})
+        if zinv is not None:
+            cfg.zinv = float(zinv)
+    cfg.outdir = args.outdir
+    os.makedirs(args.outdir, exist_ok=True)
+
+    print(f"mistra_tpu: {'box' if cfg.box else 'chamber' if cfg.chamber else '1-D'}"
+          f" run, {cfg.lstmax} h, chem={cfg.chem} mic={cfg.mic}")
+    if cfg.box or cfg.chamber:
+        from .boxmodel import BoxModel
+        box = BoxModel(cfg)
+        model = box.model
+        state = box.init_state()
+        step_owner = box
+    else:
+        model = Model(cfg)
+        state = model.init_state()
+        step_owner = model
+    if args.restart:
+        state = restore_checkpoint(args.restart, state)
+        print(f"restored state from {args.restart}")
+
+    writer = OutputWriter(os.path.join(args.outdir, "output.h5"), model)
+    writer.snapshot(state, particles=cfg.mic)
+
+    step = step_owner.jit_minute_step()
+    itmax = args.minutes if args.minutes is not None else 60 * cfg.lstmax
+    tima = open(os.path.join(args.outdir, "tima.out"), "w")
+    t_start = wallclock.time()
+
+    for it in range(1, itmax + 1):
+        state = step(state)
+        lday, lst, lmin = (int(state.tim.lday), int(state.tim.lst),
+                           int(state.tim.lmin))
+        # progress line (reference cadence: every minute; str.f90:517-531)
+        tke = np.asarray(state.met.tke)
+        atkh = np.asarray(state.turb.atkh)
+        xm2 = np.asarray(state.met.xm2)
+        rho = np.asarray(state.met.rho)
+        line = (f"{lday:2d}:{lst:2d}:{lmin:2d} "
+                f"tke={tke[:100].max():8.3f} atkh={atkh[:100].max():8.3f} "
+                f"lwc={1000 * (xm2[:100] / rho[:100]).max():8.3f}")
+        tima.write(line + "\n")
+        tima.flush()
+        if it % 15 == 0:
+            writer.snapshot(state, particles=cfg.mic and it % 30 == 0)
+        if lst % 12 == 0 and lmin == 0 and not cfg.box:
+            save_checkpoint(os.path.join(args.outdir, "restart"), state)
+        if it % 60 == 0:
+            el = wallclock.time() - t_start
+            print(f"  {it}/{itmax} min done ({el:.0f}s wall, "
+                  f"{el / it:.1f} s/min)")
+
+    save_checkpoint(os.path.join(args.outdir, "restart"), state)
+    # final aerosol spectrum (ae*.out equivalent; str.f90:540-553)
+    if cfg.mic:
+        aer = np.asarray(state.micro.ff).sum(axis=0)  # [nka, n]
+        np.save(os.path.join(args.outdir, "aerosol_final.npy"), aer.T)
+    writer.close()
+    tima.close()
+    print("run complete")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

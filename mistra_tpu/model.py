@@ -54,6 +54,7 @@ class Model:
         self._radiation = None  # installed below (or None to disable)
         self._chemistry = None
         self._photolysis = None
+        self._nucleation = None
         self.radiation_enabled = True
         # device copies of the atmosphere grid in the compute dtype
         import numpy as _np
@@ -73,12 +74,21 @@ class Model:
             from .radiation.driver import RadiationDriver
             self._radiation = RadiationDriver(self)
         if self.cfg.chem and self._chemistry is None:
-            from .chemistry.driver import ChemistryDriver
-            self._chemistry = ChemistryDriver(self)
+            if self.cfg.mic and self.cfg.nkc_l > 0:
+                from .chemistry.driver_aq import MultiphaseDriver
+                self._chemistry = MultiphaseDriver(self)
+            else:
+                from .chemistry.driver import ChemistryDriver
+                self._chemistry = ChemistryDriver(self)
         if (self.cfg.chem and self._photolysis is None
                 and self._radiation is not None):
             from .photolysis.jrates import PhotolysisDriver
             self._photolysis = PhotolysisDriver(self, self._radiation)
+        if (self.cfg.nuc and self.cfg.chem
+                and self._nucleation is None
+                and self._chemistry is not None):
+            from .physics.nucleation import NucleationDriver
+            self._nucleation = NucleationDriver(self)
         # initial exchange coefficients (atk0)
         turb = atk0(state.met, state.turb, state.surf, self.atm,
                     self.cfg.ug, self.cfg.vg, self.cfg.z0)
@@ -123,16 +133,27 @@ class Model:
 
         # turbulent exchange of chemical species
         if self._chemistry is not None:
-            out = diffusion.difc({"sgas": state.chem.sgas.T}, state.met,
+            out = diffusion.difc({"c": state.chem.sgas.T}, state.met,
                                  state.turb, self.atm, dd)
-            state = state.replace(
-                chem=state.chem.replace(sgas=out["sgas"].T))
+            new_c = out["c"].T
+            if hasattr(state.chem, "conc"):
+                state = state.replace(chem=state.chem.replace(conc=new_c))
+            else:
+                state = state.replace(chem=state.chem.replace(sgas=new_c))
 
         if cfg.mic:
             micro = diffusion.difp(state.micro, state.met, state.turb,
                                    self.atm, dd)
             state = state.replace(micro=micro)
+            ff_before_kon = state.micro.ff
             state = self._kon(state, dd)
+            # shift aqueous species between chemistry bins along with the
+            # particles that crossed the aerosol/droplet threshold (konc)
+            if self._chemistry is not None and hasattr(self._chemistry,
+                                                       "konc"):
+                chem = self._chemistry.konc(state.chem, ff_before_kon,
+                                            state.micro.ff)
+                state = state.replace(chem=chem)
             state = self._sedp(state, dd)
             met, micro = microphysics.equil(
                 state.met, state.micro, grids.micro, a0m, b0m, ncase=2,
@@ -166,13 +187,39 @@ class Model:
 
         # gas-phase chemistry: surface exchange then stiff integration
         if self._chemistry is not None:
+            # sea-salt aerosol + ion source (aer_source, kpp.f90:3810-4063)
+            if (cfg.mic and cfg.iaertyp == 3
+                    and hasattr(self._chemistry, "sa1_table")
+                    and not cfg.chamber):
+                from .chemistry.sources import aer_source
+                state = aer_source(self, state, dd)
             vg = self._chemistry.gasdrydep(state)
             chem = state.chem.replace(vg=vg)
             chem = self._chemistry.sedc(chem, dd, self.atm.deta[1],
                                         self.atm.detw[1])
             state = state.replace(chem=chem)
+            # wet deposition of dissolved species (sedl)
+            if cfg.mic and hasattr(self._chemistry, "sedl"):
+                chem = self._chemistry.sedl(state, dd)
+                state = state.replace(chem=chem)
+            # eulerian advective source below the inversion (neula=0)
+            if cfg.neula == 0:
+                chem = self._chemistry.eulerian_advection(
+                    state.chem, state.tim.kinv, self._chemistry.am3, dd)
+                state = state.replace(chem=chem)
+            conc_before = state.chem.conc \
+                if hasattr(state.chem, "conc") else None
             chem = self._chemistry.integrate_column(state, dd)
             state = state.replace(chem=chem)
+            # aerosol-mass feedback to the particle grid (stem_kpp,
+            # str.f90:5975-6134)
+            if (cfg.mic and conc_before is not None
+                    and hasattr(self._chemistry, "aerosol_mass_feedback")):
+                state = self._chemistry.aerosol_mass_feedback(state,
+                                                              conc_before)
+            # nucleation after chemistry (str.f90:397-405)
+            if cfg.nuc and self._nucleation is not None:
+                state, _ = self._nucleation(state, dd)
 
         tim = state.tim.replace(time=state.tim.time + dd)
         return state.replace(tim=tim)

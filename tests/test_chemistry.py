@@ -108,3 +108,86 @@ class TestGasMechanism:
         big = y0[0] > 1e-12
         np.testing.assert_allclose(np.asarray(y_half2)[0][big], y[0][big],
                                    rtol=1e-2)
+
+
+class TestAerosolSources:
+    def test_ion_loading_table_seasalt_ratios(self):
+        from mistra_tpu.chemistry.sources import ion_loading_table
+        from mistra_tpu.config import GridParams, MistraConfig
+        from mistra_tpu.grids import make_grids
+        cfg = MistraConfig(grid=GridParams(nf=12, n_extra=6, nka=24,
+                                           nkt=24, nb=8), zinv=100.0)
+        grids = make_grids(cfg)
+        from mistra_tpu.init import koehler_coefficients
+        _, _, fcs, xmol3 = koehler_coefficients(cfg, grids.micro.rn)
+        sa1 = ion_loading_table(cfg, grids, fcs, xmol3)
+        rn = grids.micro.rn
+        large = rn >= 0.5
+        # seawater molar ratios on the sea-salt mode
+        np.testing.assert_allclose(sa1["Brm"][large] / sa1["Clm"][large],
+                                   1.45e-3 / (1.0 - 0.0485 - 4.2e-3 - 1e-7
+                                              - 1.45e-3 - 7.4e-8 / 0.545
+                                              - 2.64e-7 / 0.545), rtol=1e-12)
+        # ammonium sulfate mode carries no halogens
+        assert np.all(sa1["Clm"][~large] == 0.0)
+        assert np.all(sa1["NH4p"][~large] > 0.0)
+        assert np.all(sa1["NH4p"][large] == 0.0)
+
+    def test_apply_initial_ions(self):
+        from mistra_tpu.chemistry.sources import apply_initial_ions
+        nka, nkt, n = 4, 3, 6
+        ka = 2
+        ff = jnp.ones((nkt, nka, n))
+        sa1 = {"Clm": np.array([0.0, 0.0, 2.0, 3.0]),
+               "NH4p": np.array([1.0, 1.0, 0.0, 0.0])}
+        n2i = {"Clml2": 0, "NH4pl1": 1}
+        conc = jnp.zeros((2, n))
+        out = apply_initial_ions(conc, sa1, ff, n2i, ka, 2, jnp.float64)
+        # interior levels only
+        assert float(out[0, 0]) == 0.0 and float(out[0, n - 1]) == 0.0
+        # bin2 Cl-: ap=nkt per dry bin, (2+3)*3*1e6
+        np.testing.assert_allclose(out[0, 1], 5 * 3 * 1e6)
+        np.testing.assert_allclose(out[1, 2], 2 * 3 * 1e6)
+
+
+class TestPitzerActivity:
+    """Validate against CRC/Robinson-Stokes mean activity coefficients."""
+
+    def test_nacl_hcl_water_activity(self):
+        from mistra_tpu.chemistry.activity import pitzer
+        tk = jnp.full((4,), 298.15)
+        mc = jnp.array([[0.0, 0.0, 0.0, 1.0],
+                        [0.0, 0.0, 0.0, 0.0],
+                        [0.1, 1.0, 6.0, 0.0]])
+        ma = jnp.array([[0.0] * 4, [0.0] * 4, [0.0] * 4,
+                        [0.1, 1.0, 6.0, 1.0]])
+        gc, ga, aw = pitzer(tk, mc, ma)
+        gpm = np.sqrt(np.asarray(gc[2]) * np.asarray(ga[3]))
+        np.testing.assert_allclose(gpm[0], 0.778, rtol=0.01)   # NaCl 0.1m
+        np.testing.assert_allclose(gpm[1], 0.657, rtol=0.01)   # NaCl 1m
+        np.testing.assert_allclose(gpm[2], 0.986, rtol=0.01)   # NaCl 6m
+        ghcl = math.sqrt(float(gc[0, 3]) * float(ga[3, 3]))
+        np.testing.assert_allclose(ghcl, 0.809, rtol=0.01)     # HCl 1m
+        np.testing.assert_allclose(float(aw[1]), 0.967, rtol=0.002)
+        np.testing.assert_allclose(float(aw[2]), 0.760, rtol=0.005)
+
+    def test_xgamma_field_masks(self):
+        from mistra_tpu.chemistry.activity import xgamma_field, NGAM
+        n, nkc = 6, 2
+        te = jnp.full((n,), 288.15)
+        conc = jnp.zeros((4, n))
+        n2i = {"Hpl1": 0, "Clml1": 1, "Hpl2": 2, "Clml2": 3}
+        # bin 1 has liquid in level 1 only
+        cm = jnp.zeros((nkc, n)).at[0, 1].set(1.0e-7)
+        cw = cm
+        conc = conc.at[0, :].set(1.0e-4)     # H+ 1 molal where cm=1e-7
+        conc = conc.at[1, :].set(1.0e-4)
+        xg, wact = xgamma_field(te, conc, cm, cw, n2i, nkc, 4, jnp.float64)
+        assert xg.shape == (NGAM, nkc, n)
+        # active cell gets gamma != 1; all masked cells stay exactly 1
+        assert abs(float(xg[0, 0, 1]) - 1.0) > 0.05
+        mask = np.ones((nkc, n), bool)
+        mask[0, 1] = False
+        assert np.all(np.asarray(xg)[:, mask] == 1.0)
+        # gamma(Br-) aliases gamma(Cl-)
+        np.testing.assert_allclose(np.asarray(xg[23]), np.asarray(xg[13]))
