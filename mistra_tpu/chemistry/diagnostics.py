@@ -16,28 +16,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def element_counts(species: list, element: str) -> np.ndarray:
+def base_name(name: str, binned: bool) -> str:
+    """Chemical formula of an aqueous species with the bin suffix and the
+    trailing charge marker (m = anion, p = cation: Clm, SO42m, NH4p)
+    removed.  Gas-phase names pass through untouched — gas "Cl2" must
+    keep its l2, it is molecular chlorine, not a bin suffix."""
+    if not binned:
+        return name
+    base = re.sub(r"l[1-4]$", "", name)
+    return re.sub(r"[mp]$", "", base) if len(base) > 1 else base
+
+
+def element_counts(species: list, element: str,
+                   species_bin=None) -> np.ndarray:
     """Number of atoms of ``element`` in each species, parsed from the
-    conventional species names (Cl2 -> 2, BrCl -> 1, CH2I2 -> 2...)."""
+    conventional species names (Cl2 -> 2, BrCl -> 1, Clml3 -> 1...).
+
+    species_bin: [nvar] aqueous-bin array (0 = gas phase); required to
+    strip the l1..l4 suffix of binned species.  None = all gas-phase.
+    """
     counts = np.zeros(len(species))
     pat = re.compile(rf"{element}(?![a-z])([0-9]*)")
     for i, name in enumerate(species):
-        # strip aqueous-bin suffixes (l1..l4) and charge markers (m/p)
-        base = re.sub(r"l[1-4]$", "", name)
-        for m in pat.finditer(base):
+        binned = species_bin is not None and species_bin[i] > 0
+        for m in pat.finditer(base_name(name, binned)):
             counts[i] += int(m.group(1)) if m.group(1) else 1
     return counts
 
 
 def family_column_totals(sgas, species, detw, elements=("Cl", "Br", "I",
-                                                        "S", "N")):
-    """Column-integrated element totals [mol/m2] per family.
+                                                        "S", "N"),
+                         species_bin=None):
+    """Column-integrated element totals [mol/m2] per family (mass_ch,
+    kpp.f90:5900-6181: gas + aqueous contributions enter through the
+    combined species vector).
 
     sgas: [nvar, n] concentrations [mol/m3]; detw: [n] layer thicknesses.
     """
     out = {}
     for el in elements:
-        cnt = jnp.asarray(element_counts(species, el), sgas.dtype)
+        cnt = jnp.asarray(element_counts(species, el, species_bin),
+                          sgas.dtype)
         out[el] = jnp.einsum("sn,s,n->", sgas, cnt, detw)
     return out
 
@@ -63,9 +82,11 @@ class BudgetAccumulator:
 _CHARGE_RE = re.compile(r"([mp])$")
 
 
-def ion_charge(name: str) -> int:
+def ion_charge(name: str, binned: bool = True) -> int:
     """Signed charge parsed from the species naming convention
     (...m = anion, ...p = cation; SO42m/SO32m/CO32m carry charge -2)."""
+    if not binned:
+        return 0
     base = re.sub(r"l[1-4]$", "", name)
     if base.endswith("m"):
         return -2 if base in ("SO42m", "SO32m", "CO32m") else -1
@@ -79,7 +100,8 @@ def ion_balance(conc, species, species_bin, nkc):
     6612); exact electro-neutrality is not expected because Na+ is
     implicit, but drift in time indicates a bug."""
     out = []
-    z = np.array([ion_charge(s) for s in species])
+    z = np.array([ion_charge(s, species_bin[i] > 0)
+                  for i, s in enumerate(species)])
     for kc in range(1, nkc + 1):
         sel = (species_bin == kc) & (z != 0)
         idx = np.nonzero(sel)[0]
@@ -101,6 +123,6 @@ def total_aqueous_mass(conc, species, species_bin, molar_mass):
         idx = np.nonzero(species_bin == kc)[0]
         mm = jnp.asarray([molar_mass.get(re.sub(r"l[1-4]$", "",
                                                 species[i]), 0.0) * 1e3
-                          for i in idx], conc.dtype)
+                          for i in idx], conc.dtype)  # binned names only
         out.append(jnp.einsum("sn,s->n", conc[jnp.asarray(idx)], mm))
     return jnp.stack(out) if out else jnp.zeros((0, conc.shape[1]))

@@ -285,6 +285,40 @@ class ChemistryDriver:
         return chem.replace(sgas=sgas)
 
     # ------------------------------------------------------------------
+    def _gas_env(self, state, lev):
+        """Per-layer rate environment + fixed-species columns for ``lev``
+        (kpp_driver per-layer scalars, kpp.f90:4315-4438)."""
+        cfg = self.model.cfg
+        met = state.met
+        chem = state.chem
+        te = met.t[lev]
+        air_cc = self.cm3[lev]
+        air = self.am3[lev]
+        h2o = met.xm1[lev] * met.rho[lev] / 1.8e-2        # mol/m3
+        h2o_cc = met.xm1[lev] * (6.022e20 / 18.0) * met.rho[lev]
+        h2oppm = h2o_cc * 1.0e6 / air_cc
+        pk = met.p[lev]
+        # layer-mean photolysis rates, zeroed when the sun is low
+        u0 = state.rad.u0
+        phj = 0.5 * (chem.photol_j[:, lev - 1] + chem.photol_j[:, lev])
+        phj = jnp.where(u0 >= self.u0min, phj, 0.0).T     # [B, nphrxn]
+        env = RateEnv(te=te, aircc=air_cc, h2oppm=h2oppm, pk=pk,
+                      ph_rat=phj,
+                      xhal=1.0 if cfg.halo else 0.0,
+                      xiod=1.0 if (cfg.halo and cfg.iod) else 0.0)
+        fix = jnp.stack([0.21 * air, 0.79 * air, h2o], axis=-1)
+        fix = fix[:, [["O2", "N2", "H2O"].index(s) for s in self.mech.fixed]]
+        return env, fix
+
+    def reaction_rates_at(self, state, levels):
+        """Instantaneous per-reaction rates [mol/(m3 s)] at ``levels``
+        (budget diagnostics C33; bud_gas, bud_g.f:18-403)."""
+        lev = np.asarray(levels)
+        env, fix = self._gas_env(state, lev)
+        k = self.kernel.rate_constants(env, fix=fix)
+        y = jnp.maximum(state.chem.sgas, 0.0)[:, lev].T
+        return self.kernel.reaction_rates(y, k, fix)
+
     def integrate_column(self, state, dt) -> GasChemState:
         """One chemistry substep over all interior layers (kpp_driver)."""
         cfg = self.model.cfg
@@ -298,27 +332,7 @@ class ChemistryDriver:
 
         # active layers: 1 .. n-2 (reference k = 2 .. n-1)
         lev = np.arange(1, n - 1)
-        B = len(lev)
-        te = met.t[lev]
-        air_cc = self.cm3[lev]
-        air = self.am3[lev]
-        h2o = met.xm1[lev] * met.rho[lev] / 1.8e-2        # mol/m3
-        h2o_cc = met.xm1[lev] * (6.022e20 / 18.0) * met.rho[lev]
-        h2oppm = h2o_cc * 1.0e6 / air_cc
-        pk = met.p[lev]
-
-        # layer-mean photolysis rates, zeroed when the sun is low
-        u0 = state.rad.u0
-        phj = 0.5 * (chem.photol_j[:, lev - 1] + chem.photol_j[:, lev])
-        phj = jnp.where(u0 >= self.u0min, phj, 0.0).T     # [B, nphrxn]
-
-        env = RateEnv(te=te, aircc=air_cc, h2oppm=h2oppm, pk=pk,
-                      ph_rat=phj,
-                      xhal=1.0 if cfg.halo else 0.0,
-                      xiod=1.0 if (cfg.halo and cfg.iod) else 0.0)
-
-        fix = jnp.stack([0.21 * air, 0.79 * air, h2o], axis=-1)
-        fix = fix[:, [["O2", "N2", "H2O"].index(s) for s in self.mech.fixed]]
+        env, fix = self._gas_env(state, lev)
 
         k = self.kernel.rate_constants(env, fix=fix)
         y0 = sgas[:, lev].T                               # [B, nvar]

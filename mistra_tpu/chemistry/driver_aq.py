@@ -311,7 +311,19 @@ class MultiphaseDriver(ChemistryDriver):
         conc = self._integrate_tot(state, conc, lp, np.array([n_bl]), dt)
         return chem.replace(conc=conc, cloud=lp["cloud"])
 
-    def _integrate_tot(self, state, conc, lp, lev, dt):
+    def reaction_rates_at(self, state, levels):
+        """Instantaneous per-reaction tot-mechanism rates [mol/(m3 s)] at
+        ``levels`` (budget diagnostics C33; bud_t.f / bud_s_t.f)."""
+        lev = np.asarray(levels)
+        conc = jnp.maximum(state.chem.conc, 0.0)
+        lp = self.liq_parm(state)
+        y0 = conc[:, lev].T
+        k, fix = self._tot_env(state, lp, lev, y0)
+        return self.tot_kernel.reaction_rates(y0, k, fix)
+
+    def _tot_env(self, state, lp, lev, y0):
+        """Rate constants + fixed-species columns for the tot mechanism at
+        layers ``lev`` (kpp_driver per-layer scalars, kpp.f90:4315-4438)."""
         cfg = self.model.cfg
         met = state.met
         chem = state.chem
@@ -327,7 +339,6 @@ class MultiphaseDriver(ChemistryDriver):
         phj = 0.5 * (chem.photol_j[:, lev - 1] + chem.photol_j[:, lev])
         phj = jnp.where(u0 >= self.u0min, phj, 0.0).T
 
-        y0 = conc[:, lev].T                      # [B, nvar_tot]
         env = RateEnv(te=te, aircc=air_cc, h2oppm=h2oppm, pk=pk,
                       ph_rat=phj,
                       xhal=1.0 if cfg.halo else 0.0,
@@ -346,6 +357,11 @@ class MultiphaseDriver(ChemistryDriver):
                          for s in self.tot.fixed], axis=-1)
 
         k = self.tot_kernel.rate_constants(env, fix=fix)
+        return k, fix
+
+    def _integrate_tot(self, state, conc, lp, lev, dt):
+        y0 = conc[:, lev].T                      # [B, nvar_tot]
+        k, fix = self._tot_env(state, lp, lev, y0)
         y, info = self.tot_kernel.integrate(y0, k, fix, dt)
         y = jnp.maximum(y, 0.0)
         return conc.at[:, lev].set(y.T)

@@ -197,26 +197,29 @@ def load_gas_mechanism(mechdir: str, fname: str = "master_gas.eqn",
 # multiphase mechanism construction (replaces make_aq_mech.sc / make_kpp.sc)
 # --------------------------------------------------------------------------
 
-def _clone_aqueous(text: str, b: int) -> str:
+def _clone_aqueous(text: str, b: int):
     """Clone the master aqueous mechanism for bin ``b`` (the csh script's
-    z -> 1..4 substitution; mech/make_aq_mech.sc:27-40)."""
+    z -> 1..4 substitution; mech/make_aq_mech.sc:27-40).
+
+    Returns (cloned_text, aqueous_names): the set of species names created
+    by the z-substitution, i.e. the definitive bin-``b`` aqueous species.
+    Identifying them here (instead of regexing final names) avoids the
+    trap that gas-phase names can *look* binned — "Cl2" ends in "l2" but
+    is molecular chlorine, not a bin-2 species.
+    """
+    stem_re = re.compile(r"\b([A-Za-z][A-Za-z0-9_]*l)z\b")
+    names = {m.group(1) + str(b) for m in stem_re.finditer(text)}
     out = text
     out = re.sub(r",\s*z\)", f",{b})", out)          # yxkmt(ind_X, z)
     out = re.sub(r"\(\s*z\)", f"({b})", out)         # ycw(z)
     out = re.sub(r"\bxliqz\b", f"xliq{b}", out)
     out = re.sub(r"\bcvvz\b", f"cvv{b}", out)
-    out = re.sub(r"\b([A-Za-z][A-Za-z0-9_]*l)z\b", rf"\g<1>{b}", out)
-    return out
+    out = stem_re.sub(rf"\g<1>{b}", out)
+    return out, names
 
 
 def _strip_includes(text: str) -> str:
     return re.sub(r"#include\s+\S+", "", text, flags=re.IGNORECASE)
-
-
-def bin_of_species(name: str) -> int:
-    """Aqueous bin (1..4) of a species name, or 0 for gas phase."""
-    m = re.search(r"l([1-4])$", name)
-    return int(m.group(1)) if m else 0
 
 
 def load_multiphase_mechanism(mechdir: str, bins=(1, 2, 3, 4),
@@ -225,26 +228,45 @@ def load_multiphase_mechanism(mechdir: str, bins=(1, 2, 3, 4),
     mechanism-definition sources."""
     mechdir = mechdir.rstrip("/")
     with open(f"{mechdir}/master_gas.eqn") as f:
-        parts = [f.read()]
+        gas_text = f.read()
+    parts = [gas_text]
     # heterogeneous reactions on dry/liquid aerosol from the .head files
+    het_parts = []
     if name == "aer":
         with open(f"{mechdir}/aer_eqn.head") as f:
-            parts.append(_strip_includes(f.read()))
+            het_parts.append(_strip_includes(f.read()))
     else:
         for head in ("tot_eqn12.head", "tot_eqn34.head"):
             try:
                 with open(f"{mechdir}/{head}") as f:
-                    parts.append(_strip_includes(f.read()))
+                    het_parts.append(_strip_includes(f.read()))
             except FileNotFoundError:
                 pass
+    parts += het_parts
     with open(f"{mechdir}/master_aqueous.eqn") as f:
         aqueous = f.read()
+    # bin of each aqueous species, tracked through the z-substitution
+    aq_bin: dict[str, int] = {}
     for b in bins:
-        parts.append(_clone_aqueous(aqueous, b))
+        cloned, names = _clone_aqueous(aqueous, b)
+        parts.append(cloned)
+        for nm in names:
+            aq_bin[nm] = b
 
     fixed = list(DEFAULT_FIXED) + [f"H2Ol{b}" for b in bins]
     mech = parse_eqn("\n".join(parts), name=name, fixed=tuple(fixed))
     mech.bins = tuple(bins)
-    mech.species_bin = np.array([bin_of_species(s) for s in mech.species],
+
+    # species introduced only by the heterogeneous .head reactions
+    # (HNO3l1, SO4l2, DUMM1, ...): binned iff they are not gas-phase names
+    gas_names = set(parse_eqn(gas_text, name="gas").species) \
+        | set(DEFAULT_FIXED)
+    for s in mech.species:
+        if s in aq_bin or s in gas_names:
+            continue
+        m = re.search(r"(?:l|DUMM)([1-4])$", s)
+        if m:
+            aq_bin[s] = int(m.group(1))
+    mech.species_bin = np.array([aq_bin.get(s, 0) for s in mech.species],
                                 dtype=np.int32)
     return mech

@@ -84,11 +84,40 @@ def main(argv=None):
         state = restore_checkpoint(args.restart, state)
         print(f"restored state from {args.restart}")
 
-    writer = OutputWriter(os.path.join(args.outdir, "output.h5"), model)
+    from .io import netcdf as ncio
+    if ncio.available():
+        # reference-layout netCDF groups via the native async writer
+        writer = ncio.NetCDFOutputWriter(args.outdir, model)
+    else:
+        writer = OutputWriter(os.path.join(args.outdir, "output.h5"), model)
     writer.snapshot(state, particles=cfg.mic)
 
     step = step_owner.jit_minute_step()
     itmax = args.minutes if args.minutes is not None else 60 * cfg.lstmax
+
+    # hourly element-family mass closure (mass_ch, kpp.f90:5900-6181)
+    mass_fn = None
+    if model._chemistry is not None:
+        from .chemistry import diagnostics as chem_diag
+        drv = model._chemistry
+        mech_m = getattr(drv, "tot", drv.mech)
+        sb = getattr(mech_m, "species_bin", None)
+        detw_d = model.atm.detw
+        mass_fn = jax.jit(lambda s: chem_diag.family_column_totals(
+            s.chem.sgas, mech_m.species, detw_d, species_bin=sb))
+        mass_out = open(os.path.join(args.outdir, "mass.out"), "w")
+        mass_out.write("# day hh:mm  column totals [mol/m2]: "
+                       "Cl Br I S N\n")
+
+    # opt-in per-reaction budgets (C33): accumulate every minute at the
+    # nlev_bud output levels, write with each 15-min snapshot
+    budgets = None
+    if cfg.binout and model._chemistry is not None \
+            and hasattr(writer, "write_budgets") and writer.rxn is not None:
+        lev_bud = writer.bud_levels
+        rates_fn = jax.jit(
+            lambda s: model._chemistry.reaction_rates_at(s, lev_bud))
+        bud_cum = None
     tima = open(os.path.join(args.outdir, "tima.out"), "w")
     t_start = wallclock.time()
 
@@ -106,8 +135,23 @@ def main(argv=None):
                 f"lwc={1000 * (xm2[:100] / rho[:100]).max():8.3f}")
         tima.write(line + "\n")
         tima.flush()
+        if cfg.binout and model._chemistry is not None \
+                and hasattr(writer, "write_budgets") \
+                and writer.rxn is not None:
+            inst = np.asarray(rates_fn(state)).T        # [nrxn, nlev]
+            bud_cum = inst * 60.0 if bud_cum is None else bud_cum \
+                + inst * 60.0
         if it % 15 == 0:
             writer.snapshot(state, particles=cfg.mic and it % 30 == 0)
+            if cfg.binout and hasattr(writer, "write_budgets") \
+                    and writer.rxn is not None and bud_cum is not None:
+                writer.write_budgets(inst, bud_cum)
+        if mass_fn is not None and lmin == 0:
+            tot = {k: float(v) for k, v in mass_fn(state).items()}
+            mass_out.write(f"{lday:2d} {lst:02d}:{lmin:02d}  "
+                           + " ".join(f"{tot[e]:.6e}" for e in
+                                      ("Cl", "Br", "I", "S", "N")) + "\n")
+            mass_out.flush()
         if lst % 12 == 0 and lmin == 0 and not cfg.box:
             save_checkpoint(os.path.join(args.outdir, "restart"), state)
         if it % 60 == 0:
@@ -121,6 +165,8 @@ def main(argv=None):
         aer = np.asarray(state.micro.ff).sum(axis=0)  # [nka, n]
         np.save(os.path.join(args.outdir, "aerosol_final.npy"), aer.T)
     writer.close()
+    if mass_fn is not None:
+        mass_out.close()
     tima.close()
     print("run complete")
     return 0
