@@ -2,30 +2,36 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: column model steps per second (one step = one outer minute of the
-operator-splitting schedule = 6 fast substeps + MY2.5 closure + surface),
-for a batched ensemble of independent columns on a single chip.
+Metric: full-physics column model steps per second — one step = one outer
+minute of the operator-splitting schedule (6 × 10-s substeps: implicit
+diffusion + MY2.5 closure, Köhler/condensation growth over the 70×70 bin
+spectrum with Bott advection, sedimentation, surface energy balance) plus
+the 18-band PIFM2 radiative transfer call.  This is the reference's
+headline BTZ96 radiation-fog configuration (namelist.BTZ96: chem=F,
+mic=T; the canonical 72-h validation case), for a batched ensemble of
+independent columns on one chip.
 
-Baseline: the serial Fortran reference advances exactly one column; no
-published numbers exist (BASELINE.md), so vs_baseline is measured against
-a single-column, unbatched run of this framework on the host CPU — the
-honest stand-in for the reference's serial-one-column execution model
-until a Fortran build is available.
+Baseline: the serial Fortran reference advances exactly one column per
+process and publishes no numbers (BASELINE.md), and no Fortran compiler
+exists in this image — so vs_baseline is measured against a
+single-column, unbatched run of this same framework on the host CPU, the
+honest stand-in for the reference's serial one-column execution model.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def _build(dtype: str):
+def _build(dtype: str, mic: bool):
     from mistra_tpu.config import MistraConfig
     from mistra_tpu.model import Model
-    cfg = MistraConfig(chem=False, mic=False, dtype=dtype, tw=288.15,
+    cfg = MistraConfig(chem=False, mic=mic, dtype=dtype, tw=288.15,
                        zinv=800.0, dtinv=7.0, ug=8.5, vg=0.0,
                        nw_prof_opt=1, wmax=-0.005, z0=0.0001, alat=55.0)
     return Model(cfg)
@@ -41,30 +47,51 @@ def _time_steps(step_fn, state, n_steps: int) -> float:
     return (time.perf_counter() - t0) / n_steps
 
 
-def main():
-    batch = 512
-    n_steps = 20
-
-    model = _build("float32")
+def _measure(mic: bool, batch: int, n_steps: int):
+    model = _build("float32", mic)
     state = model.init_state()
-    ensemble = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
-                            state)
-    step = jax.jit(jax.vmap(model.minute_step))
+    ensemble = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state)
+    step = jax.jit(jax.vmap(model.minute_step), donate_argnums=(0,))
     dt_ens = _time_steps(step, ensemble, n_steps)
-    col_steps_per_s = batch / dt_ens
 
     # serial single-column CPU baseline (reference-style execution model)
     cpu = jax.devices("cpu")[0]
     state_cpu = jax.device_put(state, cpu)
-    step1 = jax.jit(model.minute_step, device=cpu)
-    dt_one = _time_steps(step1, state_cpu, max(3, n_steps // 4))
-    baseline_steps_per_s = 1.0 / dt_one
+    cpu_step = jax.jit(model.minute_step, device=cpu)
+    dt_one = _time_steps(cpu_step, state_cpu, 2)
+    return batch / dt_ens, 1.0 / dt_one
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--mic-child":
+        # isolated full-physics attempt: a TPU kernel fault must not take
+        # down the fallback measurement, so it runs in its own process
+        col_per_s, base_per_s = _measure(mic=True, batch=128, n_steps=10)
+        print(json.dumps({"col": col_per_s, "base": base_per_s}))
+        return
+
+    import os
+    import subprocess
+    metric = "btz96_column_steps_per_s"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mic-child"],
+            capture_output=True, text=True, timeout=3000,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        col_per_s, base_per_s = r["col"], r["base"]
+    except Exception as exc:  # pragma: no cover - robustness fallback
+        print(f"full-physics bench failed ({exc!r}); dry fallback",
+              file=sys.stderr)
+        col_per_s, base_per_s = _measure(mic=False, batch=512, n_steps=20)
+        metric = "dry_column_steps_per_s"
 
     print(json.dumps({
-        "metric": "column_model_steps_per_s",
-        "value": round(col_steps_per_s, 2),
-        "unit": "column-steps/s",
-        "vs_baseline": round(col_steps_per_s / baseline_steps_per_s, 2),
+        "metric": metric,
+        "value": round(col_per_s, 2),
+        "unit": "column-minutes/s",
+        "vs_baseline": round(col_per_s / base_per_s, 2),
     }))
 
 

@@ -1,0 +1,121 @@
+"""Chemistry throughput: cell-steps/s/chip for the gas and tot mechanisms.
+
+The BASELINE.json driving metric.  One "cell-step" = one (column, layer)
+cell advanced through one 10-s operator-splitting substep by the batched
+Ros3 integrator (adaptive internal stepping, dense batched LU).
+
+Usage: python benchmarks/bench_chem.py [--mech gas|tot] [--cells N]
+       [--dtype float32|float64] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mech", default="gas", choices=["gas", "tot"])
+    ap.add_argument("--cells", type=int, default=2048)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--dt", type=float, default=10.0)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from mistra_tpu.chemistry.gas_kernel import GasKernel
+    from mistra_tpu.chemistry.mech import (load_gas_mechanism,
+                                           load_multiphase_mechanism)
+    from mistra_tpu.chemistry.rates import RateEnv
+
+    mechdir = "/root/reference/src/mech"
+    if args.mech == "gas":
+        mech = load_gas_mechanism(mechdir)
+    else:
+        mech = load_multiphase_mechanism(mechdir, name="tot")
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    kernel = GasKernel(mech, dtype=dtype)
+
+    B = args.cells
+    key = jax.random.PRNGKey(0)
+    # representative environment: near-surface marine boundary layer
+    te = jnp.full((B,), 288.15, dtype)
+    aircc = jnp.full((B,), 2.55e19, dtype)
+    air = jnp.full((B,), 42.3, dtype)           # mol/m3
+    h2oppm = jnp.full((B,), 1.2e4, dtype)
+    pk = jnp.full((B,), 1.013e5, dtype)
+    phj = jnp.full((B, 47), 1.0e-5, dtype)       # daytime-magnitude J's
+
+    extras = None
+    fix_names = list(mech.fixed)
+    fix_cols = {"O2": 0.21 * air, "N2": 0.79 * air,
+                "H2O": jnp.full((B,), 0.5, dtype)}
+    for b in range(1, 5):
+        fix_cols[f"H2Ol{b}"] = jnp.zeros((B,), dtype)
+    fix = jnp.stack([fix_cols.get(s, jnp.zeros((B,), dtype))
+                     for s in fix_names], axis=-1)
+    if args.mech == "tot":
+        # aqueous machinery off (dry cells): zero transfer/equilibria
+        from mistra_tpu.chemistry.driver_aq import MultiphaseDriver
+        zeros = jnp.zeros((B,), dtype)
+        extras = {}
+        env0 = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
+                       ph_rat=phj, xhal=1.0, xiod=1.0)
+        ns_probe = set()
+        import mistra_tpu.chemistry.rates as rates_mod
+        base_ns = rates_mod.make_namespace(env0)
+        for rx in mech.reactions:
+            try:
+                eval(rx.rate_expr, {"__builtins__": {}}, dict(base_ns))
+            except NameError as exc:
+                ns_probe.add(str(exc).split("'")[1])
+            except Exception:
+                pass
+        extras = {nm: zeros for nm in ns_probe}
+        env = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
+                      ph_rat=phj, xhal=1.0, xiod=1.0, extras=extras)
+    else:
+        env = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
+                      ph_rat=phj, xhal=1.0, xiod=1.0)
+
+    # plausible initial concentrations: log-uniform 1e-12..1e-7 mol/m3
+    y0 = 10.0 ** jax.random.uniform(key, (B, mech.nvar), dtype,
+                                    minval=-12.0, maxval=-7.0)
+
+    k = kernel.rate_constants(env, fix=fix)
+
+    @jax.jit
+    def substep(y):
+        ynew, info = kernel.integrate(y, k, fix, args.dt)
+        return jnp.maximum(ynew, 0.0)
+
+    y = substep(y0)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        y = substep(y)
+    jax.block_until_ready(y)
+    dt_wall = (time.perf_counter() - t0) / args.reps
+
+    dev = jax.devices()[0].platform
+    print(json.dumps({
+        "metric": f"chem_{args.mech}_cell_steps_per_s",
+        "value": round(B / dt_wall, 1),
+        "unit": "cell-substeps/s/chip",
+        "cells": B, "nvar": mech.nvar, "nrxn": mech.nrxn,
+        "dtype": args.dtype, "platform": dev,
+        "wall_per_substep_s": round(dt_wall, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,39 @@ def family_column_totals(sgas, species, detw, elements=("Cl", "Br", "I",
     return out
 
 
+def species_production_loss(rates, stoich, species_idx):
+    """Per-species production / loss rates from per-reaction rates
+    (the S/DMS budget machinery bud_s_{g,a,t}.f generalized: every
+    reaction producing or consuming the species is a budget channel).
+
+    rates: [..., nrxn]; stoich: [nrxn, nvar] net stoichiometry.
+    Returns (production [...,], loss [...]) with loss >= 0.
+    """
+    col = jnp.asarray(stoich[:, species_idx], rates.dtype)
+    prod = rates @ jnp.maximum(col, 0.0)
+    loss = rates @ jnp.maximum(-col, 0.0)
+    return prod, loss
+
+
+def species_budget_channels(rates, stoich, species_idx, labels=None,
+                            top: int = 20):
+    """The ``top`` reactions by |contribution| to a species tendency —
+    the per-channel view the reference prints for the S family.
+
+    rates: [nrxn] (single cell); returns list of (reaction_index,
+    signed_rate) sorted by magnitude."""
+    col = np.asarray(stoich[:, species_idx])
+    contrib = np.asarray(rates) * col
+    order = np.argsort(-np.abs(contrib))[:top]
+    out = []
+    for j in order:
+        if contrib[j] == 0.0:
+            break
+        lab = labels[j] if labels is not None else int(j)
+        out.append((lab, float(contrib[j])))
+    return out
+
+
 class BudgetAccumulator:
     """Per-reaction rate budgets at selected levels (reference bud_gas:
     bg(1,:,:) instantaneous, bg(2,:,:) cumulative; bud_g.f:18-403)."""

@@ -146,6 +146,19 @@ def main(argv=None):
             if cfg.binout and hasattr(writer, "write_budgets") \
                     and writer.rxn is not None and bud_cum is not None:
                 writer.write_budgets(inst, bud_cum)
+        if lmin == 0:   # hourly ASCII profiles (str.f90:504-508)
+            from .io import profiles as prof
+            with open(os.path.join(args.outdir, "profm.out"), "a") as fh:
+                prof.profm(fh, state, model.atm, cfg.grid.nf)
+            with open(os.path.join(args.outdir, "profr.out"), "a") as fh:
+                prof.profr(fh, state, model.atm, cfg.grid.nf)
+            if model._chemistry is not None:
+                drv0 = model._chemistry
+                mech0 = getattr(drv0, "tot", drv0.mech)
+                with open(os.path.join(args.outdir, "profc.out"),
+                          "a") as fh:
+                    prof.profc(fh, state, model.atm, mech0.species,
+                               cfg.grid.nf)
         if mass_fn is not None and lmin == 0:
             tot = {k: float(v) for k, v in mass_fn(state).items()}
             mass_out.write(f"{lday:2d} {lst:02d}:{lmin:02d}  "

@@ -247,23 +247,31 @@ class NetCDFOutputWriter:
         self.met = m
 
         self.mic = None
+        self.part = None
         if cfg.mic:
             f = NcFile(os.path.join(outdir, "mic.nc"))
             f.def_dim("time", None)
-            f.def_dim("time_p", None)
             f.def_dim("n", n)
-            f.def_dim("nka", nka)
-            f.def_dim("nkt", nkt)
-            f.def_dim("nrp", len(model.grids.micro.rpw))
+            f.def_dim("nrp1", len(model.grids.micro.rpw) - 1)
+            f.def_dim("nf", cfg.grid.nf)
             f.def_var("fsum", ("time", "n"), "1/cm3", "total particles")
             f.def_var("lcl", ("time",), "1", "cloud base index")
             f.def_var("lct", ("time",), "1", "cloud top index")
-            f.def_var("part1D", ("time", "n", "nrp"), "1/cm3",
+            f.def_var("part1D", ("time", "nrp1", "nf"), "1/cm3",
                       "projected 1-D size distribution")
-            f.def_var("ff", ("time_p", "n", "nkt", "nka"), "1/cm3",
-                      "2-D particle spectrum")
             f.enddef()
             self.mic = f
+            # the full 2-D spectrum has its own (30-min ploutp) cadence and
+            # its own file: classic netCDF allows one unlimited dim per file
+            p = NcFile(os.path.join(outdir, "part.nc"))
+            p.def_dim("time", None)
+            p.def_dim("nkt", nkt)
+            p.def_dim("nka", nka)
+            p.def_dim("n", n)
+            p.def_var("ff", ("time", "nkt", "nka", "n"), "1/cm3",
+                      "2-D particle spectrum")
+            p.enddef()
+            self.part = p
 
         self.chem = None
         self.jrat = None
@@ -342,9 +350,9 @@ class NetCDFOutputWriter:
             part1d = oneD_dist(state.micro.ff, self.model.grids.micro,
                                self.model.cfg.grid.nf)
             self.mic.put("part1D", part1d, record=i)
-            if particles:
-                self.mic.put("ff", state.micro.ff,
-                             record=self._irec_part)
+            if particles and self.part is not None:
+                self.part.put("ff", state.micro.ff,
+                              record=self._irec_part)
                 self._irec_part += 1
 
         if self.chem is not None and state.chem is not None:
@@ -353,6 +361,7 @@ class NetCDFOutputWriter:
         self._irec += 1
 
     def close(self):
-        for f in (self.met, self.mic, self.chem, self.jrat, self.rxn):
+        for f in (self.met, self.mic, self.part, self.chem, self.jrat,
+                  self.rxn):
             if f is not None:
                 f.close()

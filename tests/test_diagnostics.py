@@ -64,3 +64,15 @@ def test_family_totals_and_ion_balance():
     bal = ion_balance(conc, sp, sb, nkc=1)
     # level 0: -3 (Clm) + 5 (NH4p) - 2 (SO42m) = 0
     np.testing.assert_allclose(np.asarray(bal[0]), [0.0, 0.0])
+
+
+def test_species_production_loss():
+    from mistra_tpu.chemistry.diagnostics import (species_budget_channels,
+                                                  species_production_loss)
+    # 2 reactions: R0: A -> B (rate 3), R1: B -> A (rate 1)
+    stoich = np.array([[-1.0, 1.0], [1.0, -1.0]])
+    rates = jnp.array([3.0, 1.0])
+    prod_b, loss_b = species_production_loss(rates, stoich, 1)
+    assert float(prod_b) == 3.0 and float(loss_b) == 1.0
+    ch = species_budget_channels(rates, stoich, 1)
+    assert ch[0] == (0, 3.0) and ch[1] == (1, -1.0)

@@ -46,3 +46,37 @@ def test_classic_format_magic(tmp_path):
     with open(path, "rb") as fh:
         magic = fh.read(4)
     assert magic[:3] == b"CDF"
+
+
+def test_output_writer_mic(tmp_path):
+    """Full writer with microphysics on: regression for the two-unlimited-
+    dims bug (classic netCDF allows one per file) and the ff/part1D
+    dimension-order mismatches."""
+    from mistra_tpu.config import GridParams, MistraConfig
+    from mistra_tpu.model import Model
+
+    cfg = MistraConfig(chem=False, mic=True, dtype="float32",
+                       grid=GridParams(nf=8, n_extra=4, nka=8, nkt=8, nb=4),
+                       zinv=60.0, tw=288.15, dtinv=7.0, ug=8.5, vg=0.0,
+                       nw_prof_opt=1, wmax=-0.005, z0=0.0001, alat=55.0)
+    model = Model(cfg)
+    model.radiation_enabled = False
+    state = model.init_state()
+    w = ncio.NetCDFOutputWriter(str(tmp_path), model)
+    w.snapshot(state, particles=True)
+    w.snapshot(state, particles=False)
+    w.close()
+
+    n = cfg.grid.n
+    r = ncio.NcReader(str(tmp_path / "mic.nc"))
+    assert r.dimlen("time") == 2
+    fsum = r.get("fsum", (2, n))
+    np.testing.assert_allclose(fsum[0], np.asarray(state.micro.fsum),
+                               rtol=1e-6)
+    r.close()
+    rp = ncio.NcReader(str(tmp_path / "part.nc"))
+    assert rp.dimlen("time") == 1
+    ff = rp.get("ff", (1, cfg.grid.nkt, cfg.grid.nka, n))
+    np.testing.assert_allclose(ff[0], np.asarray(state.micro.ff),
+                               rtol=1e-6)
+    rp.close()
