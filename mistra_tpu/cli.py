@@ -36,6 +36,9 @@ def main(argv=None):
                          "'nf=12,n_extra=6,nka=16,nkt=16,nb=8[,zinv=100]'")
     ap.add_argument("--minutes", type=int, default=None,
                     help="integrate this many minutes instead of full hours")
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler trace of minutes 2-4 "
+                         "into this directory (view with TensorBoard)")
     ap.add_argument("--x64", action="store_true", default=True)
     args = ap.parse_args(argv)
 
@@ -122,7 +125,16 @@ def main(argv=None):
     t_start = wallclock.time()
 
     for it in range(1, itmax + 1):
+        if args.profile and it == 2:
+            import jax.profiler as _prof
+            _prof.start_trace(args.profile)
         state = step(state)
+        if args.profile and it == 4:
+            import numpy as _np
+            _np.asarray(state.met.t)    # block before stopping the trace
+            import jax.profiler as _prof
+            _prof.stop_trace()
+            print(f"profiler trace written to {args.profile}")
         lday, lst, lmin = (int(state.tim.lday), int(state.tim.lst),
                            int(state.tim.lmin))
         # progress line (reference cadence: every minute; str.f90:517-531)

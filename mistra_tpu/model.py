@@ -125,16 +125,18 @@ class Model:
         b0m = jnp.asarray(self.consts["b0m"])
 
         # turbulent exchange of momentum/heat/moisture/TKE (+ closure)
-        met, turb, kinv = diffusion.difm(
-            state.met, state.turb, state.surf, state.micro, self.atm, dd,
-            cfg.ug, cfg.vg)
+        with jax.named_scope("difm"):
+            met, turb, kinv = diffusion.difm(
+                state.met, state.turb, state.surf, state.micro, self.atm, dd,
+                cfg.ug, cfg.vg)
         state = state.replace(met=met, turb=turb,
                               tim=state.tim.replace(kinv=kinv))
 
         # turbulent exchange of chemical species
         if self._chemistry is not None:
-            out = diffusion.difc({"c": state.chem.sgas.T}, state.met,
-                                 state.turb, self.atm, dd)
+            with jax.named_scope("difc"):
+                out = diffusion.difc({"c": state.chem.sgas.T}, state.met,
+                                     state.turb, self.atm, dd)
             new_c = out["c"].T
             if hasattr(state.chem, "conc"):
                 state = state.replace(chem=state.chem.replace(conc=new_c))
@@ -142,11 +144,13 @@ class Model:
                 state = state.replace(chem=state.chem.replace(sgas=new_c))
 
         if cfg.mic:
-            micro = diffusion.difp(state.micro, state.met, state.turb,
-                                   self.atm, dd)
+            with jax.named_scope("difp"):
+                micro = diffusion.difp(state.micro, state.met, state.turb,
+                                       self.atm, dd)
             state = state.replace(micro=micro)
             ff_before_kon = state.micro.ff
-            state = self._kon(state, dd)
+            with jax.named_scope("kon"):
+                state = self._kon(state, dd)
             # shift aqueous species between chemistry bins along with the
             # particles that crossed the aerosol/droplet threshold (konc)
             if self._chemistry is not None and hasattr(self._chemistry,
@@ -154,7 +158,8 @@ class Model:
                 chem = self._chemistry.konc(state.chem, ff_before_kon,
                                             state.micro.ff)
                 state = state.replace(chem=chem)
-            state = self._sedp(state, dd)
+            with jax.named_scope("sedp"):
+                state = self._sedp(state, dd)
             met, micro = microphysics.equil(
                 state.met, state.micro, grids.micro, a0m, b0m, ncase=2,
                 nf=cfg.grid.nf)
@@ -209,7 +214,8 @@ class Model:
                 state = state.replace(chem=chem)
             conc_before = state.chem.conc \
                 if hasattr(state.chem, "conc") else None
-            chem = self._chemistry.integrate_column(state, dd)
+            with jax.named_scope("chemistry"):
+                chem = self._chemistry.integrate_column(state, dd)
             state = state.replace(chem=chem)
             # aerosol-mass feedback to the particle grid (stem_kpp,
             # str.f90:5975-6134)
@@ -259,7 +265,8 @@ class Model:
                           self.astro.alat, self.astro.declin)
         state = state.replace(rad=state.rad.replace(u0=u0))
         if self._radiation is not None:
-            state = self._radiation(state, init=False)
+            with jax.named_scope("radiation"):
+                state = self._radiation(state, init=False)
 
         # photolysis rates: recompute on even minutes when the sun is up,
         # hold when sun up on odd minutes, zero when dark (str.f90:445-476)
