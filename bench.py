@@ -16,6 +16,11 @@ process and publishes no numbers (BASELINE.md), and no Fortran compiler
 exists in this image — so vs_baseline is measured against a
 single-column, unbatched run of this same framework on the host CPU, the
 honest stand-in for the reference's serial one-column execution model.
+
+Execution-model note: the one-time init sequence runs on the host CPU and
+the state is device_put onto the accelerator (init is eager; on the
+tunneled TPU each eager op costs an RPC round trip), then the whole
+minute step runs as a single compiled XLA program per call.
 """
 
 from __future__ import annotations
@@ -48,18 +53,26 @@ def _time_steps(step_fn, state, n_steps: int) -> float:
 
 
 def _measure(mic: bool, batch: int, n_steps: int):
-    model = _build("float32", mic)
-    state = model.init_state()
-    ensemble = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        model = _build("float32", mic)
+        state = model.init_state()
+        ensemble = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state)
+        ensemble = jax.tree.map(jnp.asarray, ensemble)  # materialize views
+
+    # ensemble throughput on the default accelerator
+    dev = jax.devices()[0]
+    ensemble = jax.device_put(ensemble, dev)
+    jax.block_until_ready(ensemble)
     step = jax.jit(jax.vmap(model.minute_step), donate_argnums=(0,))
     dt_ens = _time_steps(step, ensemble, n_steps)
 
     # serial single-column CPU baseline (reference-style execution model)
-    cpu = jax.devices("cpu")[0]
-    state_cpu = jax.device_put(state, cpu)
-    cpu_step = jax.jit(model.minute_step, device=cpu)
-    dt_one = _time_steps(cpu_step, state_cpu, 2)
+    with jax.default_device(cpu):
+        state_cpu = jax.device_put(state, cpu)
+        cpu_step = jax.jit(model.minute_step)
+        dt_one = _time_steps(cpu_step, state_cpu, 2)
     return batch / dt_ens, 1.0 / dt_one
 
 
@@ -67,7 +80,7 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--mic-child":
         # isolated full-physics attempt: a TPU kernel fault must not take
         # down the fallback measurement, so it runs in its own process
-        col_per_s, base_per_s = _measure(mic=True, batch=128, n_steps=10)
+        col_per_s, base_per_s = _measure(mic=True, batch=256, n_steps=10)
         print(json.dumps({"col": col_per_s, "base": base_per_s}))
         return
 

@@ -67,7 +67,28 @@ class Model:
             deta=jnp.asarray(self.grids.atm.deta, dt))
 
     # ------------------------------------------------------------------
-    def init_state(self) -> ModelState:
+    def init_state(self, host_init: bool = True) -> ModelState:
+        """Build the initial state (init sequence of str.f90:72-321).
+
+        The init path is eager (it runs once, with data-dependent table
+        setup), so by default it executes on the host CPU backend and the
+        caller ``jax.device_put``s the result onto accelerators: on a
+        remote/tunneled TPU, per-op eager dispatch costs an RPC round trip
+        each, which turns the ~2000-op init graph into minutes of latency.
+        """
+        import contextlib
+        ctx = contextlib.nullcontext()
+        if host_init:
+            try:
+                cpus = jax.local_devices(backend="cpu")
+                if jax.default_backend() != "cpu" and cpus:
+                    ctx = jax.default_device(cpus[0])
+            except RuntimeError:
+                pass
+        with ctx:
+            return self._init_state_impl()
+
+    def _init_state_impl(self) -> ModelState:
         state, consts = initial_state(self.cfg, self.grids, self.clarke)
         self.consts.update(consts)
         if self.radiation_enabled and self._radiation is None:

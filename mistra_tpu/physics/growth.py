@@ -153,11 +153,15 @@ def bott_bin_advection(dt, u, z):
     w_lo = jnp.where(active_src, z - x1, 0.0)
     w_hi = jnp.where(active_src, x1, 0.0)
 
-    oh_lo = jax.nn.one_hot(k_low, nkt, dtype=dtype)
-    oh_hi = jax.nn.one_hot(k_high, nkt, dtype=dtype)
-    y = jnp.einsum("...s,...sd->...d", w_lo, oh_lo) \
-        + jnp.einsum("...s,...sd->...d", w_hi, oh_hi)
-    return y
+    # scatter-add deposit, written as a masked broadcast-reduce so XLA
+    # fuses the [*, src, dst] compare into the reduction instead of
+    # materializing a one-hot operand (which at full size would be a
+    # [batch, n, nka, nkt, nkt] dot_general input — hundreds of GB)
+    dst = jnp.arange(nkt)
+    contrib = (jnp.where(k_low[..., :, None] == dst, w_lo[..., :, None], 0.0)
+               + jnp.where(k_high[..., :, None] == dst,
+                           w_hi[..., :, None], 0.0))
+    return jnp.sum(contrib, axis=-2)
 
 
 # --------------------------------------------------------------------------
