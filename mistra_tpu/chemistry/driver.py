@@ -94,6 +94,10 @@ class ChemistryDriver:
         self.csv = load_species_csv(f"{cfg.mechdir.rstrip('/')}/"
                                     f"{cfg.cgaslistfile}")
         self.name2i = {s: i for i, s in enumerate(self.mech.species)}
+        # static chemistry-bin membership of the 2-D spectrum, for the
+        # het-on-dry-aerosol rates (dry_cw_rc, kpp.f90:4580-4642)
+        from . import aqueous as aq
+        self.masks = aq.bin_masks(model.grids.micro)
         # MISTRA index -> mechanism index maps for the CSV species
         self.csv_in_mech = [s for s in self.csv if s["name"] in self.name2i]
         self.u0min = U0MIN_BUYS if cfg.lp_buys13_0d else U0MIN_DEFAULT
@@ -285,7 +289,44 @@ class ChemistryDriver:
         return chem.replace(sgas=sgas)
 
     # ------------------------------------------------------------------
-    def _gas_env(self, state, lev):
+    def _het_extras(self, state, lev, y0):
+        """Heterogeneous-on-dry-aerosol rate namespace for the gas
+        mechanism (dry_rates_g + fdhetg, kpp.f90:5042-5203, 8198-8265).
+
+        In gas-only layers no aqueous bin is active, so xhet1 = xhet2 = 1
+        (kpp_driver, kpp.f90:4435-4438).
+        """
+        from . import aqueous as aq
+        met = state.met
+        t, p = met.t, met.p
+        freep = 2.28e-5 * t / p
+        dry = aq.dry_aerosol_rates(None, state.micro.ff, t, p, self.masks,
+                                   self.model.grids.micro, freep,
+                                   self.model.cfg.grid.nf, self.dtype)
+        xkmtd = {k: v[:, lev] for k, v in dry["xkmtd"].items()}   # [2, B]
+        cwd = dry["cwd"][:, lev]
+        hdry_hno3 = dry["henry_dry"]["HNO3"][lev]
+        xeq_hno3 = dry["xeq_hno3"][lev]
+        n2i = self.name2i
+
+        def fdhetg(na, nb):
+            names = {1: "HNO3", 2: "N2O5", 3: "NH3", 4: "H2SO4"}
+            if nb == 1 and y0 is not None and f"HNO3l{na}" in n2i:
+                # HNO3 uptake limited by Henry equilibrium at pH 2
+                x1 = xkmtd["HNO3"][na - 1] * cwd[na - 1]
+                caq = (y0[:, n2i[f"HNO3l{na}"]] * 1.5e3) * 1.0e-2 \
+                    / (xeq_hno3 + 1.0e-2)
+                hno3 = y0[:, n2i["HNO3"]]
+                x2 = jnp.where((hno3 > 0.0) & (hdry_hno3 > 0.0),
+                               -xkmtd["HNO3"][na - 1]
+                               / jnp.maximum(hno3 * hdry_hno3, 1e-300)
+                               * caq, 0.0)
+                return jnp.maximum(0.0, x1 + x2)
+            return xkmtd[names[nb]][na - 1] * cwd[na - 1]
+
+        return {"fdhetg": fdhetg, "xhet1": 1.0, "xhet2": 1.0}
+
+    def _gas_env(self, state, lev, y0=None):
         """Per-layer rate environment + fixed-species columns for ``lev``
         (kpp_driver per-layer scalars, kpp.f90:4315-4438)."""
         cfg = self.model.cfg
@@ -302,10 +343,15 @@ class ChemistryDriver:
         u0 = state.rad.u0
         phj = 0.5 * (chem.photol_j[:, lev - 1] + chem.photol_j[:, lev])
         phj = jnp.where(u0 >= self.u0min, phj, 0.0).T     # [B, nphrxn]
+        extras = None
+        if type(self) is ChemistryDriver and any(
+                n.endswith(("l1", "l2")) for n in self.mech.species):
+            extras = self._het_extras(state, lev, y0)
         env = RateEnv(te=te, aircc=air_cc, h2oppm=h2oppm, pk=pk,
                       ph_rat=phj,
                       xhal=1.0 if cfg.halo else 0.0,
-                      xiod=1.0 if (cfg.halo and cfg.iod) else 0.0)
+                      xiod=1.0 if (cfg.halo and cfg.iod) else 0.0,
+                      extras=extras)
         fix = jnp.stack([0.21 * air, 0.79 * air, h2o], axis=-1)
         fix = fix[:, [["O2", "N2", "H2O"].index(s) for s in self.mech.fixed]]
         return env, fix
@@ -314,9 +360,9 @@ class ChemistryDriver:
         """Instantaneous per-reaction rates [mol/(m3 s)] at ``levels``
         (budget diagnostics C33; bud_gas, bud_g.f:18-403)."""
         lev = np.asarray(levels)
-        env, fix = self._gas_env(state, lev)
-        k = self.kernel.rate_constants(env, fix=fix)
         y = jnp.maximum(state.chem.sgas, 0.0)[:, lev].T
+        env, fix = self._gas_env(state, lev, y0=y)
+        k = self.kernel.rate_constants(env, fix=fix)
         return self.kernel.reaction_rates(y, k, fix)
 
     def integrate_column(self, state, dt) -> GasChemState:
@@ -332,10 +378,10 @@ class ChemistryDriver:
 
         # active layers: 1 .. n-2 (reference k = 2 .. n-1)
         lev = np.arange(1, n - 1)
-        env, fix = self._gas_env(state, lev)
+        y0 = sgas[:, lev].T                               # [B, nvar]
+        env, fix = self._gas_env(state, lev, y0=y0)
 
         k = self.kernel.rate_constants(env, fix=fix)
-        y0 = sgas[:, lev].T                               # [B, nvar]
         y, info = self.kernel.integrate(y0, k, fix, dt)
         y = jnp.maximum(y, 0.0)
         sgas = sgas.at[:, lev].set(y.T)

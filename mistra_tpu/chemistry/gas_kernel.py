@@ -51,6 +51,9 @@ class GasKernel:
         ns.setdefault("fdhetg", lambda na, nb: 0.0)
         ns.setdefault("yxkmt", lambda ind, a: 0.0)
         ns.setdefault("ycw", lambda a: 0.0)
+        # no aerosol environment bound: het-on-dry-aerosol switched off
+        ns.setdefault("xhet1", 0.0)
+        ns.setdefault("xhet2", 0.0)
         if fix is not None:
             ns["fix"] = lambda i: fix[..., i]
             for fi, name in enumerate(self.mech.fixed):

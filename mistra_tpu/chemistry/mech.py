@@ -186,11 +186,39 @@ def parse_eqn(text: str, name: str = "mech",
     return mech.finalize()
 
 
-def load_gas_mechanism(mechdir: str, fname: str = "master_gas.eqn",
+def _resolve_includes(text: str, mechdir: str) -> str:
+    """Inline KPP ``#INCLUDE file`` directives (one level, as gas.eqn uses)."""
+    def repl(m):
+        with open(f"{mechdir}/{m.group(1)}") as f:
+            return f.read()
+    return re.sub(r"#include\s+(\S+)", repl, text, flags=re.IGNORECASE)
+
+
+def load_gas_mechanism(mechdir: str, fname: str = "gas.eqn",
                        iod: bool = True, halo: bool = True) -> Mechanism:
-    with open(f"{mechdir.rstrip('/')}/{fname}") as f:
-        text = f.read()
-    return parse_eqn(text, name="gas")
+    """Gas mechanism = master_gas.eqn + the 8 active het-on-dry-aerosol
+    reactions of gas.eqn (reference: mech/gas.eqn #INCLUDEs master_gas.eqn;
+    KPP sizes NVAR=102/NREACT=331, gas_Parameters.h:26-49)."""
+    mechdir = mechdir.rstrip("/")
+    try:
+        with open(f"{mechdir}/{fname}") as f:
+            text = _resolve_includes(f.read(), mechdir)
+    except FileNotFoundError:
+        with open(f"{mechdir}/master_gas.eqn") as f:
+            text = f.read()
+    mech = parse_eqn(text, name="gas")
+    # bin tag for the het product species (HNO3l1, SO4l2, DUMM1, ...);
+    # restricted to species absent from the pure gas mechanism so that
+    # gas-phase names that merely look binned (Cl2 = molecular chlorine)
+    # stay gas-phase
+    with open(f"{mechdir}/master_gas.eqn") as f:
+        gas_names = set(parse_eqn(f.read(), name="gas_base").species)
+    bins = []
+    for s in mech.species:
+        m = re.search(r"(?:l|DUMM)([12])$", s)
+        bins.append(int(m.group(1)) if m and s not in gas_names else 0)
+    mech.species_bin = np.asarray(bins, dtype=np.int32)
+    return mech
 
 
 # --------------------------------------------------------------------------
