@@ -278,8 +278,13 @@ class Model:
             vd, xra = partdep(self, state)
             state = state.replace(micro=state.micro.replace(vd=vd, xra=xra))
 
-        for _ in range(6):
-            state = self.substep(state, 10.0)
+        # 6 × 10-s fractional steps as a scan: one substep body in the
+        # compiled program instead of six unrolled copies (the unrolled
+        # form produced an HLO large enough to destabilize TPU compiles)
+        def _sub(s, _):
+            return self.substep(s, 10.0), None
+
+        state, _ = jax.lax.scan(_sub, state, None, length=6)
 
         # solar geometry + radiative transfer once per minute
         u0 = solar_zenith(state.tim.lst, state.tim.lmin,

@@ -179,8 +179,12 @@ def sedp(model, state, dt):
     x3 = deta[1]  # deta(2), positive
 
     def cond(carry):
-        psi, dt0, ground, _ = carry
-        return jnp.any(active_bin & (dt0 > 0.1))
+        psi, dt0, ground, it = carry
+        # hard iteration bound: the Courant split needs at most
+        # ceil(dt / (deta_min / vterm_max)) passes (a handful); the bound
+        # guards the TPU watchdog against a non-finite dtmax spinning the
+        # loop forever
+        return jnp.any(active_bin & (dt0 > 0.1)) & (it < 64)
 
     def body(carry):
         psi, dt0, ground, it = carry
