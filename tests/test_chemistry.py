@@ -62,12 +62,17 @@ class TestGasMechanism:
         return load_gas_mechanism(MECHDIR)
 
     def test_mechanism_size(self, mech):
-        # 95 variable species / 323 active reactions parsed from
-        # master_gas.eqn (the reference's 102/331 counts include dummy
-        # species and the dry-het reactions from gas.eqn)
-        assert mech.nvar >= 90
-        assert mech.nrxn >= 320
+        # exact parity with the KPP-generated gas mechanism:
+        # NVAR=102 / NREACT=331 (gas_Parameters.h:26-49) = master_gas.eqn
+        # plus the 8 active het-on-dry-aerosol reactions of gas.eqn
+        assert mech.nvar == 102
+        assert mech.nrxn == 331
         assert mech.fixed == ["O2", "N2", "H2O"]
+        # het product species carry their aerosol-bin tag; gas-phase names
+        # that merely end in "l2" (Cl2) must stay gas-phase
+        binned = {s for s, b in zip(mech.species, mech.species_bin) if b}
+        assert binned == {"HNO3l1", "DUMM1", "NH3l1", "SO4l1",
+                          "HNO3l2", "NH3l2", "SO4l2"}
         # every reaction has at most 3 reactant slots, all valid
         assert mech.ridx.shape[1] == 3
 
