@@ -46,7 +46,7 @@ def _build(dtype: str, mic: bool):
     return Model(cfg)
 
 
-def _child(mic: bool, batch: int, n_steps: int):
+def _child(mic: bool, batch: int, n_steps: int, mode: str = "fused"):
     """Measure in-process and print one JSON result line."""
     import jax
     import jax.numpy as jnp
@@ -64,7 +64,10 @@ def _child(mic: bool, batch: int, n_steps: int):
     dev = jax.devices()[0]
     ensemble = jax.device_put(ensemble, dev)
     jax.block_until_ready(ensemble)
-    step = jax.jit(jax.vmap(model.minute_step), donate_argnums=(0,))
+    if mode == "split":
+        step = model.jit_minute_step_split(vmapped=True)
+    else:
+        step = jax.jit(jax.vmap(model.minute_step), donate_argnums=(0,))
 
     t_in = float(ensemble.tim.time[0])
     out = step(ensemble)              # compile + warm
@@ -102,36 +105,63 @@ def _child(mic: bool, batch: int, n_steps: int):
                       "ms_per_step": dt_ens * 1000.0}))
 
 
-def _run_child(mic: bool, batch: int, n_steps: int, timeout: int):
+def _run_child(mic: bool, batch: int, n_steps: int, timeout: int,
+               mode: str = "fused"):
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
-           str(int(mic)), str(batch), str(n_steps)]
+           str(int(mic)), str(batch), str(n_steps), mode]
     out = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=timeout,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = out.stdout.strip().splitlines()[-1]
-    r = json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        tail = out.stderr.strip().splitlines()[-3:]
+        raise RuntimeError(f"child produced no output (rc={out.returncode}; "
+                           f"stderr tail: {tail})")
+    r = json.loads(lines[-1])
     if "error" in r:
         raise RuntimeError(r["error"])
     return r
 
 
+def _wait_device_healthy(max_wait_s: int = 1800) -> bool:
+    """The shared tunneled TPU worker can be down for many minutes after a
+    fault from any tenant; poll a trivial program until it responds."""
+    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 128)); "
+             "print(float((x @ x.T).sum()))")
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, text=True, timeout=120)
+            if out.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(60)
+    return False
+
+
 def main():
     if len(sys.argv) > 4 and sys.argv[1] == "--child":
+        mode = sys.argv[5] if len(sys.argv) > 5 else "fused"
         _child(mic=bool(int(sys.argv[2])), batch=int(sys.argv[3]),
-               n_steps=int(sys.argv[4]))
+               n_steps=int(sys.argv[4]), mode=mode)
         return
 
-    attempts = [  # (metric, mic, batch, n_steps)
-        ("btz96_column_steps_per_s", True, 64, 10),
-        ("btz96_column_steps_per_s", True, 64, 10),
-        ("btz96_column_steps_per_s", True, 16, 5),
-        ("dry_column_steps_per_s", False, 512, 20),
-        ("dry_column_steps_per_s", False, 128, 10),
+    attempts = [  # (metric, mic, batch, n_steps, mode)
+        ("btz96_column_steps_per_s", True, 64, 10, "fused"),
+        ("btz96_column_steps_per_s", True, 64, 10, "split"),
+        ("btz96_column_steps_per_s", True, 64, 10, "split"),
+        ("btz96_column_steps_per_s", True, 16, 5, "split"),
+        ("dry_column_steps_per_s", False, 512, 20, "fused"),
+        ("dry_column_steps_per_s", False, 128, 10, "fused"),
     ]
     last_exc = None
-    for metric, mic, batch, n_steps in attempts:
+    for metric, mic, batch, n_steps, mode in attempts:
+        if not _wait_device_healthy():
+            print("bench: device unresponsive for 30 min", file=sys.stderr)
         try:
-            r = _run_child(mic, batch, n_steps, timeout=2400)
+            r = _run_child(mic, batch, n_steps, timeout=2400, mode=mode)
             print(json.dumps({
                 "metric": metric,
                 "value": round(r["col"], 2),
@@ -141,7 +171,7 @@ def main():
             return
         except Exception as exc:  # retry with the next configuration
             last_exc = exc
-            print(f"bench attempt ({metric}, batch={batch}) failed: "
+            print(f"bench attempt ({metric}, batch={batch}, {mode}) failed: "
                   f"{exc!r}; retrying", file=sys.stderr)
     raise SystemExit(f"all bench attempts failed: {last_exc!r}")
 

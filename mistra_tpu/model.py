@@ -261,9 +261,8 @@ class Model:
         return sedimentation.sedp(self, state, dd)
 
     # ------------------------------------------------------------------
-    def minute_step(self, state: ModelState) -> ModelState:
-        """One outer 1-minute step: clock, 6 substeps, radiation."""
-        # advance wall clock
+    def pre_minute(self, state: ModelState) -> ModelState:
+        """Clock advance + once-per-minute deposition velocities."""
         lmin = state.tim.lmin + 1
         lst = state.tim.lst + lmin // 60
         lmin = lmin % 60
@@ -277,16 +276,10 @@ class Model:
             from .physics.sedimentation import partdep
             vd, xra = partdep(self, state)
             state = state.replace(micro=state.micro.replace(vd=vd, xra=xra))
+        return state
 
-        # 6 × 10-s fractional steps as a scan: one substep body in the
-        # compiled program instead of six unrolled copies (the unrolled
-        # form produced an HLO large enough to destabilize TPU compiles)
-        def _sub(s, _):
-            return self.substep(s, 10.0), None
-
-        state, _ = jax.lax.scan(_sub, state, None, length=6)
-
-        # solar geometry + radiative transfer once per minute
+    def post_minute(self, state: ModelState) -> ModelState:
+        """Solar geometry, radiative transfer and photolysis (per minute)."""
         u0 = solar_zenith(state.tim.lst, state.tim.lmin,
                           self.astro.alat, self.astro.declin)
         state = state.replace(rad=state.rad.replace(u0=u0))
@@ -312,6 +305,47 @@ class Model:
             state = state.replace(chem=state.chem.replace(photol_j=pj))
         return state
 
+    def minute_step(self, state: ModelState) -> ModelState:
+        """One outer 1-minute step: clock, 6 substeps, radiation."""
+        state = self.pre_minute(state)
+
+        # 6 × 10-s fractional steps as a scan: one substep body in the
+        # compiled program instead of six unrolled copies (the unrolled
+        # form produced an HLO large enough to destabilize TPU compiles)
+        def _sub(s, _):
+            return self.substep(s, 10.0), None
+
+        state, _ = jax.lax.scan(_sub, state, None, length=6)
+        return self.post_minute(state)
+
     # ------------------------------------------------------------------
     def jit_minute_step(self):
         return jax.jit(self.minute_step)
+
+    def jit_minute_step_split(self, vmapped: bool = False, donate: bool
+                              = True):
+        """One minute as three compiled programs dispatched from the host:
+        pre (clock+partdep), 6 × substep, post (radiation+photolysis).
+
+        Workaround path: on the current TPU runtime a single program
+        containing two condensation-growth solves faults the device
+        (round-3 bisect: any chained ``kon``+``kon`` program dies, while
+        iterated dispatch of the identical compiled substep is stable).
+        The split costs one host round trip per program — negligible next
+        to the substep compute at production batch sizes.
+        """
+        def wrap(f):
+            g = jax.vmap(f) if vmapped else f
+            return jax.jit(g, donate_argnums=(0,) if donate else ())
+
+        pre = wrap(self.pre_minute)
+        sub = wrap(lambda s: self.substep(s, 10.0))
+        post = wrap(self.post_minute)
+
+        def step(state):
+            state = pre(state)
+            for _ in range(6):
+                state = sub(state)
+            return post(state)
+
+        return step

@@ -14,10 +14,28 @@ is a one-hot matmul scatter (MXU-friendly).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..constants import CP, PI, R0, R1, RHOW
+
+# Deposit strategy for the Bott advection scatter (see bott_bin_advection):
+# "reduce" = masked broadcast-reduce (fusion-friendly on CPU), "scatter" =
+# XLA scatter-add.  The reduce form triggered a TPU runtime fault when two
+# growth steps were fused into one program (XLA TPU bug, round 3); scatter
+# is the default everywhere.
+_DEPOSIT = os.environ.get("MISTRA_BOTT_DEPOSIT", "scatter")
+
+# Characteristic-walk strategy: "vector" = closed-form prefix-sum walk (one
+# pass of cumulative crossing times + binary search; TPU-fast), "loop" =
+# the literal per-bin fori_loop walk of the reference (str.f90:5427-5454).
+# The loop form is 72 sequential gather passes over the full
+# [batch, n, nka, nkt] block per Newton iteration — the dominant cost of
+# the whole model on TPU and the trigger of a device watchdog fault when
+# two growth solves land in one program.
+_WALK = os.environ.get("MISTRA_BOTT_WALK", "vector")
 
 
 # --- small thermodynamic helper functions (str.f90:7640-7693, 5216-5320) ---
@@ -48,6 +66,135 @@ def p21(t):
 
 YMIN = 1.0e-32
 
+_WALK_EPS = 1.0e-7  # remaining-time cutoff of the reference walk
+
+
+def _batched_searchsorted(S, t):
+    """First index k with S[..., k] >= t[..., j], per trailing row.
+
+    S: [..., nkt] sorted ascending per row; t: [..., m] targets.
+    Fixed-depth binary search (8 gathers, covers nkt <= 256)."""
+    nkt = S.shape[-1]
+    lo = jnp.zeros(t.shape, jnp.int32)
+    hi = jnp.full(t.shape, nkt, jnp.int32)
+    for _ in range(8):
+        cont = lo < hi
+        mid = (lo + hi) // 2
+        Sm = jnp.take_along_axis(S, jnp.clip(mid, 0, nkt - 1), axis=-1)
+        less = Sm < t
+        lo = jnp.where(cont & less, mid + 1, lo)
+        hi = jnp.where(cont & ~less, mid, hi)
+    return lo
+
+
+def _walk_rightward(dt, u):
+    """Final position for source bins with u > 0 (others: garbage, masked
+    by the caller).  Closed form of the reference's characteristic walk:
+    a particle crosses bin k in time 1/u_k while u stays positive, then
+    either exhausts its time budget (fractional stop), meets a zero-
+    velocity bin (integer stop), or enters a negative-velocity bin and
+    makes one partial backward segment before the oscillation stop
+    (str.f90:5427-5454 semantics)."""
+    nkt = u.shape[-1]
+    dtype = u.dtype
+    i = jnp.arange(nkt)
+    pos = u > 0.0
+    inv = jnp.where(pos, 1.0 / jnp.where(pos, u, 1.0), 0.0)
+    S = jnp.cumsum(inv, axis=-1)              # time after crossing bin k
+    P = S - inv                               # time after crossing bin k-1
+
+    # barrier: first bin j >= i+1 with u_j <= 0
+    idxb = jnp.where(pos, nkt, jnp.broadcast_to(i, u.shape))
+    nb = jax.lax.cummin(idxb, axis=idxb.ndim - 1, reverse=True)
+    b = jnp.concatenate([nb[..., 1:],
+                         jnp.full_like(nb[..., :1], nkt)], axis=-1)
+
+    # stop bin by time exhaustion: first k with S[k] >= P[i] + dt - eps
+    target = P + (dt - _WALK_EPS)
+    kstar = _batched_searchsorted(S, target)
+    kstop = jnp.minimum(kstar, b)
+
+    # fractional stop inside bin kstop (time exhausted before the barrier)
+    ks = jnp.clip(kstop, 0, nkt - 1)
+    Pk = jnp.take_along_axis(P, ks, axis=-1)
+    uk = jnp.take_along_axis(u, ks, axis=-1)
+    R_in = dt - (Pk - P)                       # remaining on entering kstop
+    seg = jnp.minimum(R_in, 1.0 / jnp.maximum(uk, 1e-300))
+    x_frac = kstop.astype(dtype) + uk * seg
+
+    # barrier cases (kstar >= b, so remaining R > eps at the barrier bin)
+    bs = jnp.clip(b, 0, nkt - 1)
+    ub = jnp.take_along_axis(u, bs, axis=-1)
+    Pb = jnp.take_along_axis(P, bs, axis=-1)
+    R = dt - (Pb - P)
+    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(ub), 1e-300), R)
+    xb = b.astype(dtype) + ub * dt0
+    x_osc = jnp.where(R - dt0 > _WALK_EPS, b.astype(dtype) - 1.0, xb)
+    x_barrier = jnp.where(ub == 0.0, b.astype(dtype), x_osc)
+    # no barrier inside the grid: overshoot beyond the last bin (the
+    # deposit clamps to bin nkt-1, matching the reference's clipped walk)
+    x_barrier = jnp.where(b >= nkt, jnp.asarray(float(nkt), dtype),
+                          x_barrier)
+
+    return jnp.where(kstar < b, x_frac, x_barrier)
+
+
+def _walk_vector(dt, u):
+    """Vectorized characteristic walk; u broadcast to the full block."""
+    nkt = u.shape[-1]
+    dtype = u.dtype
+    i = jnp.broadcast_to(jnp.arange(nkt), u.shape).astype(dtype)
+    x_right = _walk_rightward(dt, u)
+    # leftward runs: mirror the axis and the velocity sign
+    x_rev = _walk_rightward(dt, -u[..., ::-1])
+    x_left = (nkt - 1.0) - x_rev[..., ::-1]
+    return jnp.where(u == 0.0, i, jnp.where(u > 0.0, x_right, x_left))
+
+
+def _walk_loop(dt, u):
+    """The literal per-bin walk of the reference (fixed-bound, masked);
+    kept for A/B validation of the closed form."""
+    nkt = u.shape[-1]
+    dtype = u.dtype
+    i = jnp.arange(nkt)
+
+    def take_u(k):
+        return jnp.take_along_axis(u, jnp.clip(k, 0, nkt - 1), axis=-1)
+
+    k = jnp.broadcast_to(i, u.shape)
+    zero_u0 = u == 0.0
+    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u), 1e-300), dt)
+    x0 = jnp.where(zero_u0, k.astype(dtype), k + u * dt0)
+    dt1 = jnp.where(zero_u0, 0.0, dt - dt0)
+    # status: 0 = walking, 1 = deposited early (x0 integer position)
+    status = jnp.where(zero_u0, 1, 0)
+    k1 = k
+    k2 = jnp.full_like(k, -99)
+
+    def body(_, carry):
+        k, k1, k2, dt1, x0, status = carry
+        active = (status == 0) & (dt1 > _WALK_EPS)
+        uk = take_u(k)
+        k_new = jnp.where(uk < 0.0, k - 1, k + 1)
+        osc = k_new == k2
+        u_new = take_u(k_new)
+        zero_u = u_new == 0.0
+        stop_here = active & (osc | zero_u)
+        status = jnp.where(stop_here, 1, status)
+        x0 = jnp.where(stop_here, k_new.astype(dtype), x0)
+        cont = active & ~osc & ~zero_u
+        dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u_new), 1e-300), dt1)
+        x0 = jnp.where(cont, k_new + u_new * dt0, x0)
+        dt1 = jnp.where(cont, dt1 - dt0, dt1)
+        k2 = jnp.where(cont, k1, k2)
+        k1 = jnp.where(cont, k_new, k1)
+        k = jnp.where(cont, k_new, k)
+        return (k, k1, k2, dt1, x0, status)
+
+    k, k1, k2, dt1, x0, status = jax.lax.fori_loop(
+        0, nkt + 2, body, (k, k1, k2, dt1, x0, status))
+    return x0
+
 
 def bott_bin_advection(dt, u, z):
     """Advect bin contents z along the bin axis with velocities u.
@@ -70,44 +217,11 @@ def bott_bin_advection(dt, u, z):
     dtype = z.dtype
     i = jnp.arange(nkt)
 
-    def take_u(k):
-        return jnp.take_along_axis(
-            jnp.broadcast_to(u, z.shape), jnp.clip(k, 0, nkt - 1), axis=-1)
-
-    # ---- characteristic walk (fixed bound, masked) ------------------------
-    k = jnp.broadcast_to(i, z.shape)
-    u0 = jnp.broadcast_to(u, z.shape)
-    zero_u0 = u0 == 0.0
-    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u0), 1e-300), dt)
-    x0 = jnp.where(zero_u0, k.astype(dtype), k + u0 * dt0)
-    dt1 = jnp.where(zero_u0, 0.0, dt - dt0)
-    # status: 0 = walking, 1 = deposited early (x0 integer position)
-    status = jnp.where(zero_u0, 1, 0)
-    k1 = k
-    k2 = jnp.full_like(k, -99)
-
-    def body(_, carry):
-        k, k1, k2, dt1, x0, status = carry
-        active = (status == 0) & (dt1 > 1.0e-7)
-        uk = take_u(k)
-        k_new = jnp.where(uk < 0.0, k - 1, k + 1)
-        osc = k_new == k2
-        u_new = take_u(k_new)
-        zero_u = u_new == 0.0
-        stop_here = active & (osc | zero_u)
-        status = jnp.where(stop_here, 1, status)
-        x0 = jnp.where(stop_here, k_new.astype(dtype), x0)
-        cont = active & ~osc & ~zero_u
-        dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u_new), 1e-300), dt1)
-        x0 = jnp.where(cont, k_new + u_new * dt0, x0)
-        dt1 = jnp.where(cont, dt1 - dt0, dt1)
-        k2 = jnp.where(cont, k1, k2)
-        k1 = jnp.where(cont, k_new, k1)
-        k = jnp.where(cont, k_new, k)
-        return (k, k1, k2, dt1, x0, status)
-
-    k, k1, k2, dt1, x0, status = jax.lax.fori_loop(
-        0, nkt + 2, body, (k, k1, k2, dt1, x0, status))
+    ubc = jnp.broadcast_to(jnp.asarray(u, dtype), z.shape)
+    if _WALK == "vector":
+        x0 = _walk_vector(dt, ubc)
+    else:
+        x0 = _walk_loop(dt, ubc)
 
     # ---- deposit with Bott polynomial for the fractional position ---------
     k_low = jnp.floor(x0).astype(jnp.int32)
@@ -153,10 +267,27 @@ def bott_bin_advection(dt, u, z):
     w_lo = jnp.where(active_src, z - x1, 0.0)
     w_hi = jnp.where(active_src, x1, 0.0)
 
-    # scatter-add deposit, written as a masked broadcast-reduce so XLA
-    # fuses the [*, src, dst] compare into the reduction instead of
-    # materializing a one-hot operand (which at full size would be a
-    # [batch, n, nka, nkt, nkt] dot_general input — hundreds of GB)
+    if _DEPOSIT == "scatter":
+        # batched scatter-add along the last axis: deposit each source
+        # bin's two fractions onto its bracketing destination bins
+        out = jnp.zeros_like(z)
+        idx_lo = jnp.clip(k_low, 0, nkt - 1)
+        idx_hi = jnp.clip(k_high, 0, nkt - 1)
+        # flatten batch dims so a single 2-D scatter serves any rank
+        bshape = z.shape[:-1]
+        zf = out.reshape((-1, nkt))
+        ilo = idx_lo.reshape((-1, nkt))
+        ihi = idx_hi.reshape((-1, nkt))
+        wl = w_lo.reshape((-1, nkt))
+        wh = w_hi.reshape((-1, nkt))
+        rows = jnp.arange(zf.shape[0])[:, None]
+        zf = zf.at[rows, ilo].add(wl)
+        zf = zf.at[rows, ihi].add(wh)
+        return zf.reshape(bshape + (nkt,))
+
+    # masked broadcast-reduce: XLA fuses the [*, src, dst] compare into
+    # the reduction instead of materializing a one-hot operand (which at
+    # full size would be a [batch, n, nka, nkt, nkt] dot_general input)
     dst = jnp.arange(nkt)
     contrib = (jnp.where(k_low[..., :, None] == dst, w_lo[..., :, None], 0.0)
                + jnp.where(k_high[..., :, None] == dst,
@@ -227,6 +358,8 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
                      (qabs_c * de0[None, :, None]
                       + qabs_p * dep[None, :, None])) / (de0 + dep)[:, None]
     cr = rad * 7.5e5 / (rw * x1) - RHOW * 4190.0 * (tn - to) / (dt * x1)
+    if os.environ.get("MISTRA_SUBKON_NORAD"):
+        cr = jnp.zeros_like(cr)
 
     falt = ffk
 
@@ -273,7 +406,10 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
 
     init = (ffk, to, xm1o, fquer0, fquer0, jnp.zeros((), dtype),
             jnp.zeros((), bool))
-    ffk, to, xm1o, _, _, _, done = jax.lax.fori_loop(0, 10, body, init)
+    n_iter = int(os.environ.get("MISTRA_SUBKON_ITERS", "10"))
+    # traced bound: see the unroll note in bott_bin_advection
+    ub = jax.lax.optimization_barrier(jnp.asarray(n_iter, jnp.int32))
+    ffk, to, xm1o, _, _, _, done = jax.lax.fori_loop(0, ub, body, init)
     return ffk, to, xm1o, done
 
 

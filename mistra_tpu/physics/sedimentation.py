@@ -14,11 +14,18 @@ ized; the time-splitting while-loop becomes a fixed-bound masked loop.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..constants import CP, G, KAPPA, PI, R0, RHOW
+
+# Courant-split loop form: "while" (data-dependent trip count) or "scan"
+# (fixed 16-pass bound).  Kept switchable while chasing a TPU runtime
+# fault that appears when two physics substeps compile into one program.
+_SPLIT_LOOP = os.environ.get("MISTRA_SEDP_LOOP", "while")
 
 
 def vterm(a, t, p):
@@ -215,8 +222,19 @@ def sedp(model, state, dt):
 
     dt0_init = jnp.where(active_bin, jnp.asarray(dt, dtype), 0.0)
     ground0 = jnp.zeros((nkt, nka), dtype)
-    psi, dt0, ground, _ = jax.lax.while_loop(
-        cond, body, (psi, dt0_init, ground0, jnp.zeros((), jnp.int32)))
+    if _SPLIT_LOOP == "scan":
+        # fixed-bound splitting: vterm tops out near 9 m/s and deta >= 10 m,
+        # so dtmax >= ~1.1 s and ceil(dt / dtmax) <= 16 covers dt = 10 s
+        # with a wide margin (same bound reasoning as the while form)
+        def body_scan(carry, _):
+            return body(carry), None
+
+        (psi, dt0, ground, _), _ = jax.lax.scan(
+            body_scan, (psi, dt0_init, ground0, jnp.zeros((), jnp.int32)),
+            None, length=16)
+    else:
+        psi, dt0, ground, _ = jax.lax.while_loop(
+            cond, body, (psi, dt0_init, ground0, jnp.zeros((), jnp.int32)))
 
     # write back: ff(2..nf-1) = psi/detw; ff(nf) = ff(nf-1)
     ff = mic.ff
