@@ -52,6 +52,10 @@ def _child(mic: bool, batch: int, n_steps: int, mode: str = "fused"):
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("MISTRA_FORCE_CPU"):
+        # the axon TPU plugin overrides JAX_PLATFORMS; the config update
+        # is the reliable way to keep the fallback child off the device
+        jax.config.update("jax_platforms", "cpu")
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
@@ -123,22 +127,30 @@ def _run_child(mic: bool, batch: int, n_steps: int, timeout: int,
     return r
 
 
-def _wait_device_healthy(max_wait_s: int = 1800) -> bool:
-    """The shared tunneled TPU worker can be down for many minutes after a
-    fault from any tenant; poll a trivial program until it responds."""
+def _wait_device_healthy(max_wait_s: int = 240) -> bool:
+    """The shared tunneled TPU worker can be down for minutes after a fault
+    from any tenant; poll a trivial program until it responds (bounded)."""
     probe = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 128)); "
              "print(float((x @ x.T).sum()))")
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
         try:
             out = subprocess.run([sys.executable, "-c", probe],
-                                 capture_output=True, text=True, timeout=120)
+                                 capture_output=True, text=True, timeout=90)
             if out.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        time.sleep(60)
+        time.sleep(30)
     return False
+
+
+# Global wall-clock budget.  The driver runs bench.py under its own
+# timeout; blowing that records NO result at all (round-3 failure mode:
+# retries + 30-min health waits ran past the budget -> rc=124).  Every
+# attempt is gated on the remaining budget and the last-resort fallback
+# (CPU dry run) always fits.
+BENCH_BUDGET_S = float(os.environ.get("MISTRA_BENCH_BUDGET", "1800"))
 
 
 def main():
@@ -148,20 +160,33 @@ def main():
                n_steps=int(sys.argv[4]), mode=mode)
         return
 
-    attempts = [  # (metric, mic, batch, n_steps, mode)
-        ("btz96_column_steps_per_s", True, 64, 10, "fused"),
-        ("btz96_column_steps_per_s", True, 64, 10, "split"),
-        ("btz96_column_steps_per_s", True, 64, 10, "split"),
-        ("btz96_column_steps_per_s", True, 16, 5, "split"),
-        ("dry_column_steps_per_s", False, 512, 20, "fused"),
-        ("dry_column_steps_per_s", False, 128, 10, "fused"),
+    t_start = time.time()
+
+    def remaining():
+        return BENCH_BUDGET_S - (time.time() - t_start)
+
+    attempts = [  # (metric, mic, batch, n_steps, mode, est_s)
+        ("btz96_column_steps_per_s", True, 128, 10, "fused", 600),
+        ("btz96_column_steps_per_s", True, 64, 10, "split", 600),
+        ("btz96_column_steps_per_s", True, 16, 5, "split", 420),
+        ("dry_column_steps_per_s", False, 512, 20, "fused", 420),
+        ("dry_column_steps_per_s", False, 128, 10, "fused", 300),
     ]
     last_exc = None
-    for metric, mic, batch, n_steps, mode in attempts:
-        if not _wait_device_healthy():
-            print("bench: device unresponsive for 30 min", file=sys.stderr)
+    first = True
+    for metric, mic, batch, n_steps, mode, est in attempts:
+        if remaining() < est + 90:   # leave room for the CPU fallback
+            print(f"bench: skipping ({metric}, batch={batch}, {mode}): "
+                  f"{remaining():.0f}s left < {est}s", file=sys.stderr)
+            continue
+        if not first and not _wait_device_healthy(
+                max_wait_s=min(240, max(0, remaining() - est - 90))):
+            print("bench: device unresponsive; trying anyway",
+                  file=sys.stderr)
+        first = False
         try:
-            r = _run_child(mic, batch, n_steps, timeout=2400, mode=mode)
+            timeout = int(min(est + 300, max(120, remaining() - 90)))
+            r = _run_child(mic, batch, n_steps, timeout=timeout, mode=mode)
             print(json.dumps({
                 "metric": metric,
                 "value": round(r["col"], 2),
@@ -173,6 +198,28 @@ def main():
             last_exc = exc
             print(f"bench attempt ({metric}, batch={batch}, {mode}) failed: "
                   f"{exc!r}; retrying", file=sys.stderr)
+
+    # last resort: measure the dry column on the host CPU so the round
+    # still records a real number even with the TPU worker down
+    print(f"bench: falling back to CPU dry run ({last_exc!r})",
+          file=sys.stderr)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MISTRA_FORCE_CPU="1")
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "0", "32", "3", "fused"]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=max(120, min(900, remaining() - 10)),
+                         env=env,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    lines = out.stdout.strip().splitlines()
+    r = json.loads(lines[-1]) if lines else {}
+    if "col" in r:
+        print(json.dumps({
+            "metric": "dry_column_steps_per_s_cpu_fallback",
+            "value": round(r["col"], 2),
+            "unit": "column-minutes/s",
+            "vs_baseline": round(r["col"] / r["base"], 2),
+        }))
+        return
     raise SystemExit(f"all bench attempts failed: {last_exc!r}")
 
 

@@ -22,11 +22,13 @@ import jax.numpy as jnp
 from ..constants import CP, PI, R0, R1, RHOW
 
 # Deposit strategy for the Bott advection scatter (see bott_bin_advection):
-# "reduce" = masked broadcast-reduce (fusion-friendly on CPU), "scatter" =
-# XLA scatter-add.  The reduce form triggered a TPU runtime fault when two
-# growth steps were fused into one program (XLA TPU bug, round 3); scatter
-# is the default everywhere.
-_DEPOSIT = os.environ.get("MISTRA_BOTT_DEPOSIT", "scatter")
+# "reduce" = masked broadcast-reduce, "scatter" = XLA scatter-add.  Round-4
+# finding: XLA scatter (and gather) lower to serialized per-element loops
+# when the op carries vmap batch dimensions on this TPU runtime — a single
+# scattered deposit inside the vmapped growth loop cost ~2 s/call vs
+# 0.08 ms for the branch-free compare-reduce form.  The reduce form is
+# mandatory on TPU; scatter is kept only for A/B validation.
+_DEPOSIT = os.environ.get("MISTRA_BOTT_DEPOSIT", "reduce")
 
 # Characteristic-walk strategy: "vector" = closed-form prefix-sum walk (one
 # pass of cumulative crossing times + binary search; TPU-fast), "loop" =
@@ -73,18 +75,21 @@ def _batched_searchsorted(S, t):
     """First index k with S[..., k] >= t[..., j], per trailing row.
 
     S: [..., nkt] sorted ascending per row; t: [..., m] targets.
-    Fixed-depth binary search (8 gathers, covers nkt <= 256)."""
-    nkt = S.shape[-1]
-    lo = jnp.zeros(t.shape, jnp.int32)
-    hi = jnp.full(t.shape, nkt, jnp.int32)
-    for _ in range(8):
-        cont = lo < hi
-        mid = (lo + hi) // 2
-        Sm = jnp.take_along_axis(S, jnp.clip(mid, 0, nkt - 1), axis=-1)
-        less = Sm < t
-        lo = jnp.where(cont & less, mid + 1, lo)
-        hi = jnp.where(cont & ~less, mid, hi)
-    return lo
+    Branch-free compare-and-count (no gather: XLA gathers serialize under
+    vmap batch dimensions on TPU; the [m, nkt] broadcast compare fuses)."""
+    less = S[..., None, :] < t[..., :, None]        # [..., m, nkt]
+    return jnp.sum(less, axis=-1).astype(jnp.int32)
+
+
+def _take1(arr, idx):
+    """arr[..., idx[..., j]] per trailing row, gather-free.
+
+    arr: [..., nkt]; idx: [..., m] int32 in [0, nkt).  One-hot
+    compare-reduce instead of take_along_axis (same TPU reasoning as
+    ``_batched_searchsorted``)."""
+    k = jnp.arange(arr.shape[-1])
+    hit = idx[..., :, None] == k                    # [..., m, nkt]
+    return jnp.sum(jnp.where(hit, arr[..., None, :], 0), axis=-1)
 
 
 def _walk_rightward(dt, u):
@@ -116,16 +121,16 @@ def _walk_rightward(dt, u):
 
     # fractional stop inside bin kstop (time exhausted before the barrier)
     ks = jnp.clip(kstop, 0, nkt - 1)
-    Pk = jnp.take_along_axis(P, ks, axis=-1)
-    uk = jnp.take_along_axis(u, ks, axis=-1)
+    Pk = _take1(P, ks)
+    uk = _take1(u, ks)
     R_in = dt - (Pk - P)                       # remaining on entering kstop
     seg = jnp.minimum(R_in, 1.0 / jnp.maximum(uk, 1e-300))
     x_frac = kstop.astype(dtype) + uk * seg
 
     # barrier cases (kstar >= b, so remaining R > eps at the barrier bin)
     bs = jnp.clip(b, 0, nkt - 1)
-    ub = jnp.take_along_axis(u, bs, axis=-1)
-    Pb = jnp.take_along_axis(P, bs, axis=-1)
+    ub = _take1(u, bs)
+    Pb = _take1(P, bs)
     R = dt - (Pb - P)
     dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(ub), 1e-300), R)
     xb = b.astype(dtype) + ub * dt0
@@ -369,7 +374,7 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
     fquer0 = 0.5 * (feuneu0 + feualt)
     aa0 = 1.0 / dt
 
-    def body(itk, carry):
+    def body(carry, itk):
         ffk, to, xm1o, fquer, fqa, res_prev, done = carry
         c = (cd * (fquer - sr) - cr) / dlne          # [nkt, nka]
         # staggered velocities along the water-mass axis per dry bin
@@ -402,14 +407,17 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
         fquer = jnp.where(upd, fquer_new, fquer)
         res_out = jnp.where(upd, res, res_prev)
         done = done | conv
-        return (ffk, to, xm1o, fquer, fqa, res_out, done)
+        return (ffk, to, xm1o, fquer, fqa, res_out, done), None
 
     init = (ffk, to, xm1o, fquer0, fquer0, jnp.zeros((), dtype),
             jnp.zeros((), bool))
     n_iter = int(os.environ.get("MISTRA_SUBKON_ITERS", "10"))
-    # traced bound: see the unroll note in bott_bin_advection
-    ub = jax.lax.optimization_barrier(jnp.asarray(n_iter, jnp.int32))
-    ffk, to, xm1o, _, _, _, done = jax.lax.fori_loop(0, ub, body, init)
+    # lax.scan, NOT a while/fori loop: on the current TPU runtime a
+    # while-loop around this body executes ~150x slower than the rolled
+    # scan form (round-4 A/B: 20 s vs 138 ms per kon call at batch=8),
+    # and an unrolled static loop destabilizes the compile.
+    (ffk, to, xm1o, _, _, _, done), _ = jax.lax.scan(
+        body, init, jnp.arange(n_iter))
     return ffk, to, xm1o, done
 
 

@@ -34,16 +34,19 @@ def rgl(r_dry, a, b, feu):
     alpha = a / r_dry
     x0 = jnp.exp(feu_safe)
 
-    def body(_, carry):
+    def body(carry, _):
         xalt, done = carry
         falt = (xalt ** 3 - 1.0) * (xalt * zlogf - alpha) + b * xalt
         fstralt = (4.0 * xalt ** 3 - 1.0) * zlogf - 3.0 * xalt ** 2 * alpha + b
         xneu = xalt - falt / fstralt
         new_done = done | (jnp.abs(xneu - xalt) < 1.0e-7 * xalt)
         x_next = jnp.where(done, xalt, xneu)
-        return (x_next, new_done)
+        return (x_next, new_done), None
 
-    x, _ = jax.lax.fori_loop(0, 100, body, (x0, jnp.zeros_like(x0, bool)))
+    # scan, not fori/while: while-loops execute their body ~100x slower
+    # than the rolled scan form on the current TPU runtime (round-4 A/B)
+    (x, _), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0, bool)),
+                             None, length=100)
     r_eq = r_dry * x
     # at/above saturation the reference returns the dry radius
     return jnp.where(feu >= 1.0, r_dry, r_eq)
@@ -79,8 +82,10 @@ def equil_redistribute(ff, t, feu, micro_grid, a0m, b0m, level_mask,
     rg = rgl(rn[:, None], a0[None, :], b0[:, None], feu[None, :])
     eg = Z4PI3 * (rg ** 3 - rn[:, None] ** 3)  # water mass [mg]
 
-    # first water bin with ew[jt] >= eg  (reference: while eg > ew(jt))
-    jt = jnp.searchsorted(ew, eg)            # [nka, n], 0..nkt
+    # first water bin with ew[jt] >= eg  (reference: while eg > ew(jt));
+    # compare-and-count instead of searchsorted: XLA gathers serialize
+    # under vmap batch dimensions on TPU
+    jt = jnp.sum(ew < eg[..., None], axis=-1).astype(jnp.int32)
     jt = jnp.clip(jt, 0, nkt - 1)
 
     one_hot = jax.nn.one_hot(jt, nkt, dtype=ff.dtype)      # [nka, n, nkt]

@@ -23,8 +23,10 @@ import numpy as np
 from ..constants import CP, G, KAPPA, PI, R0, RHOW
 
 # Courant-split loop form: "while" (data-dependent trip count) or "scan"
-# (fixed 16-pass bound).  Kept switchable while chasing a TPU runtime
-# fault that appears when two physics substeps compile into one program.
+# (fixed 16-pass bound).  Measured round 4 at batch=8 on TPU: while 13 ms
+# (early exit after ~2 passes) vs scan 41 ms (16 fixed passes) — unlike
+# the growth solver's Newton loop, this while body has no gather/scatter
+# ops, so it avoids the serialized-lowering pathology and stays fast.
 _SPLIT_LOOP = os.environ.get("MISTRA_SEDP_LOOP", "while")
 
 
