@@ -30,14 +30,24 @@ from ..constants import CP, PI, R0, R1, RHOW
 # mandatory on TPU; scatter is kept only for A/B validation.
 _DEPOSIT = os.environ.get("MISTRA_BOTT_DEPOSIT", "reduce")
 
-# Characteristic-walk strategy: "vector" = closed-form prefix-sum walk (one
-# pass of cumulative crossing times + binary search; TPU-fast), "loop" =
-# the literal per-bin fori_loop walk of the reference (str.f90:5427-5454).
-# The loop form is 72 sequential gather passes over the full
-# [batch, n, nka, nkt] block per Newton iteration — the dominant cost of
-# the whole model on TPU and the trigger of a device watchdog fault when
-# two growth solves land in one program.
-_WALK = os.environ.get("MISTRA_BOTT_WALK", "vector")
+# Characteristic-walk strategy: "banded" = closed-form walk evaluated on
+# a band of at most MISTRA_BOTT_BAND destination bins via rolled slices
+# (O(nkt*J) work, everything 2-D and fusion-friendly); "vector" =
+# closed-form prefix-sum walk with full [nkt, nkt] broadcast compares
+# (exact for arbitrarily long walks but O(nkt^2) with large HBM
+# intermediates); "loop" = the literal per-bin fori_loop walk of the
+# reference (str.f90:5427-5454).  The loop form is 72 sequential gather
+# passes over the full [batch, n, nka, nkt] block per Newton iteration —
+# the dominant cost of the whole model on TPU and the trigger of a device
+# watchdog fault when two growth solves land in one program.  The banded
+# form with J = nkt is exact (identical to "vector"); smaller J caps the
+# per-step walk length at J bins, which is exact whenever no particle
+# crosses more than J bins in one 10-s substep (J=32 is never exceeded in
+# the BTZ96 fog case; the clamp is positive-definite and conservative).
+# "auto" resolves at trace time: "pallas" (fused VMEM-resident kernel,
+# physics/bott_pallas.py) on TPU, "banded" XLA elsewhere.
+_WALK = os.environ.get("MISTRA_BOTT_WALK", "auto")
+_BAND = int(os.environ.get("MISTRA_BOTT_BAND", "32"))
 
 
 # --- small thermodynamic helper functions (str.f90:7640-7693, 5216-5320) ---
@@ -144,6 +154,88 @@ def _walk_rightward(dt, u):
     return jnp.where(kstar < b, x_frac, x_barrier)
 
 
+def _walk_rightward_banded(dt, u, J):
+    """Banded form of ``_walk_rightward``: identical closed-form walk, but
+    the time-exhaustion search, barrier search and the offset gathers are
+    evaluated on a band of J bins ahead of the source bin using rolled
+    slices — O(nkt*J) elementwise work with no [nkt, nkt] intermediates.
+    J = nkt reproduces ``_walk_rightward`` exactly; smaller J clamps walks
+    longer than J bins to the band edge (positive-definite, conservative).
+    """
+    nkt = u.shape[-1]
+    dtype = u.dtype
+    i = jnp.arange(nkt)
+    pos = u > 0.0
+    inv = jnp.where(pos, 1.0 / jnp.where(pos, u, 1.0), 0.0)
+    S = jnp.cumsum(inv, axis=-1)              # time after crossing bin k
+    P = S - inv                               # time after crossing bin k-1
+    target = P + (dt - _WALK_EPS)
+
+    # count_d: prefix-monotone indicator S[i+d] < t[i]  ->  kstar = i+count
+    # run_d:   consecutive positive-u run from bin i+1   ->  b = i+1+run
+    count = jnp.zeros(u.shape, jnp.int32)
+    run = jnp.zeros(u.shape, jnp.int32)
+    q = jnp.ones(u.shape, bool)
+    for d in range(J):
+        Sd = jnp.roll(S, -d, axis=-1)
+        count = count + ((i + d < nkt) & (Sd < target)).astype(jnp.int32)
+        pos_d = jnp.roll(pos, -(d + 1), axis=-1) & (i + d + 1 < nkt)
+        q = q & pos_d
+        run = run + q.astype(jnp.int32)
+    kstar = i + count
+    b = i + 1 + run
+    b_inf = b >= nkt                          # all-positive to the grid top
+    kstop = jnp.minimum(kstar, b)
+
+    # banded gathers: offsets (ks - i), (bs - i) are in [0, J+1] whenever
+    # the looked-up value is actually consumed (the b>=nkt clip can push
+    # bs - i beyond the band, but that case is overridden by b_inf below;
+    # the zero fill keeps the dead lanes finite)
+    ks = jnp.clip(kstop, 0, nkt - 1)
+    bs = jnp.clip(b, 0, nkt - 1)
+    o_ks = ks - i
+    o_bs = bs - i
+    Pk = jnp.zeros_like(u)
+    uk = jnp.zeros_like(u)
+    Pb = jnp.zeros_like(u)
+    ub = jnp.zeros_like(u)
+    for d in range(J + 2):
+        Pd = jnp.roll(P, -d, axis=-1)
+        ud = jnp.roll(u, -d, axis=-1)
+        sel_k = o_ks == d
+        sel_b = o_bs == d
+        Pk = jnp.where(sel_k, Pd, Pk)
+        uk = jnp.where(sel_k, ud, uk)
+        Pb = jnp.where(sel_b, Pd, Pb)
+        ub = jnp.where(sel_b, ud, ub)
+
+    # fractional stop inside bin kstop (time exhausted before the barrier)
+    R_in = dt - (Pk - P)
+    seg = jnp.minimum(R_in, 1.0 / jnp.maximum(uk, 1e-300))
+    x_frac = kstop.astype(dtype) + uk * seg
+
+    # barrier cases
+    R = dt - (Pb - P)
+    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(ub), 1e-300), R)
+    xb = b.astype(dtype) + ub * dt0
+    x_osc = jnp.where(R - dt0 > _WALK_EPS, b.astype(dtype) - 1.0, xb)
+    x_barrier = jnp.where(ub == 0.0, b.astype(dtype), x_osc)
+    x_barrier = jnp.where(b_inf, jnp.asarray(float(nkt), dtype), x_barrier)
+
+    return jnp.where(kstar < b, x_frac, x_barrier)
+
+
+def _walk_banded(dt, u, J):
+    """Banded characteristic walk for both directions (see _walk_vector)."""
+    nkt = u.shape[-1]
+    dtype = u.dtype
+    i = jnp.broadcast_to(jnp.arange(nkt), u.shape).astype(dtype)
+    x_right = _walk_rightward_banded(dt, u, J)
+    x_rev = _walk_rightward_banded(dt, -u[..., ::-1], J)
+    x_left = (nkt - 1.0) - x_rev[..., ::-1]
+    return jnp.where(u == 0.0, i, jnp.where(u > 0.0, x_right, x_left))
+
+
 def _walk_vector(dt, u):
     """Vectorized characteristic walk; u broadcast to the full block."""
     nkt = u.shape[-1]
@@ -201,7 +293,7 @@ def _walk_loop(dt, u):
     return x0
 
 
-def bott_bin_advection(dt, u, z):
+def bott_bin_advection(dt, u, z, band=None):
     """Advect bin contents z along the bin axis with velocities u.
 
     Args:
@@ -223,7 +315,19 @@ def bott_bin_advection(dt, u, z):
     i = jnp.arange(nkt)
 
     ubc = jnp.broadcast_to(jnp.asarray(u, dtype), z.shape)
-    if _WALK == "vector":
+    walk = _WALK
+    if walk == "auto":
+        # fused Pallas kernel on TPU; banded rolled XLA elsewhere (the
+        # kernel's VPU formulation interprets poorly on CPU)
+        walk = "pallas" if jax.default_backend() == "tpu" else "banded"
+    if walk == "pallas":
+        from .bott_pallas import bott_advect_tpu
+        J = min(band if band is not None else _BAND, nkt)
+        return bott_advect_tpu(ubc, z, float(dt), band=J)
+    if walk == "banded":
+        J = min(band if band is not None else _BAND, nkt)
+        x0 = _walk_banded(dt, ubc, J)
+    elif walk == "vector":
         x0 = _walk_vector(dt, ubc)
     else:
         x0 = _walk_loop(dt, ubc)
@@ -290,6 +394,30 @@ def bott_bin_advection(dt, u, z):
         zf = zf.at[rows, ihi].add(wh)
         return zf.reshape(bshape + (nkt,))
 
+    if _WALK == "banded":
+        # banded shift-accumulate: source bin i deposits at i+d for
+        # offsets |d| <= D; jnp.roll wraparound is safe because a mask
+        # selecting a wrapped lane would require k_low outside [0, nkt).
+        # The walk itself is banded, so the only deposits beyond the band
+        # are the off-grid overshoots (x0 = nkt from an all-positive run,
+        # x0 = -1 mirrored), which the reference clips to the edge bins —
+        # route those explicitly to bins nkt-1 / 0.
+        D = min(band if band is not None else _BAND, nkt) + 2
+        dk_lo = k_low - i
+        dk_hi = k_high - i
+        over_t = ((dk_lo > D).astype(dtype) * w_lo
+                  + (dk_hi > D).astype(dtype) * w_hi).sum(axis=-1)
+        over_b = ((dk_lo < -D).astype(dtype) * w_lo
+                  + (dk_hi < -D).astype(dtype) * w_hi).sum(axis=-1)
+        out = jnp.zeros_like(z)
+        for d in range(-D, D + 1):
+            v = (jnp.where(dk_lo == d, w_lo, 0.0)
+                 + jnp.where(dk_hi == d, w_hi, 0.0))
+            out = out + jnp.roll(v, d, axis=-1)
+        edge = jnp.zeros((nkt,), dtype).at[0].set(1.0)
+        return (out + over_b[..., None] * edge
+                + over_t[..., None] * edge[::-1])
+
     # masked broadcast-reduce: XLA fuses the [*, src, dst] compare into
     # the reduction instead of materializing a one-hot operand (which at
     # full size would be a [batch, n, nka, nkt, nkt] dot_general input)
@@ -301,22 +429,26 @@ def bott_bin_advection(dt, u, z):
 
 
 # --------------------------------------------------------------------------
-# subkon: per-level condensation solve (vectorized over levels by vmap)
+# subkon: condensation solve, vectorized over all levels at once
 # --------------------------------------------------------------------------
 
 def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
            qabs_kr, sr_coeff, micro):
-    """Condensational growth for one level.
+    """Condensational growth for a block of levels.
 
-    Args (per level; vmapped by the caller):
-      ffk: [nkt, nka] spectrum.  totr: [mb] band radiation.  scalars as in
-      the reference.  qabs_kr: [mb, nkt, nka] absorption efficiencies for
-      the level's (already resolved) aerosol type.  sr_coeff: (a0m, b0m[nka]).
-      micro: static MicroGrid.
+    Operates on all L levels at once (NOT per-level vmapped): the Bott
+    advection inside the Newton loop then sees one [L*nka, nkt] batch and
+    dispatches a single large-grid Pallas kernel instead of L tiny ones.
 
-    Returns (ffk', to, xm1o, n_iter_converged).
+    Args:
+      ffk: [L, nkt, nka] spectra.  totr: [L, mb] band radiation.
+      dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n: [L] per-level scalars.
+      qabs_kr: [mb, nkt, nka] absorption efficiencies (aerosol type
+      already resolved).  sr_coeff: (a0m, b0m[nka]).  micro: MicroGrid.
+
+    Returns (ffk' [L, nkt, nka], to [L], xm1o [L], done [L]).
     """
-    nkt, nka = ffk.shape
+    L, nkt, nka = ffk.shape
     dtype = ffk.dtype
     a0m, b0m = sr_coeff
     e = jnp.asarray(micro.e, dtype)
@@ -325,6 +457,9 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
     dew = jnp.asarray(micro.dew, dtype)
     rw = jnp.asarray(micro.rw, dtype)         # [nkt, nka]
     dlne = micro.dlne
+
+    def lv(x):                                # [L] -> [L, 1, 1]
+        return x[:, None, None]
 
     to = to_in
     xm1o = xm1o_in
@@ -343,30 +478,33 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
     xdv0 = xdv * jnp.sqrt(2.0 * PI / (R1 * to)) / 3.6e-8
     xka0 = xka * jnp.sqrt(2.0 * PI / (R0 * to)) / (7.0e-7 * rho * CP)
 
-    # growth coefficient cd and radiative term cr per bin
-    sr = jnp.maximum(0.1, jnp.exp(a0 / rw - b0m[None, :] * en[None, :]
-                                  / ew[:, None]))
-    xdvs = xdv / (rw / (rw + deltav) + xdv0 / rw)
-    xkas = xka / (rw / (rw + deltat) + xka0 / rw)
-    x1 = RHOW * (zxl21 + xkas / (xdvs * rho21s * sr))
-    cd = 3.0e12 * rho21 * xkas / (x1 * rw * rw * rho21s * sr)
+    # growth coefficient cd and radiative term cr per bin: [L, nkt, nka]
+    sr = jnp.maximum(0.1, jnp.exp(lv(a0) / rw
+                                  - (b0m * en)[None, None, :]
+                                  / ew[None, :, None]))
+    xdvs = lv(xdv) / (rw / (rw + lv(deltav)) + lv(xdv0) / rw)
+    xkas = lv(xka) / (rw / (rw + lv(deltat)) + lv(xka0) / rw)
+    x1 = RHOW * (lv(zxl21) + xkas / (xdvs * lv(rho21s) * sr))
+    cd = 3.0e12 * lv(rho21) * xkas / (x1 * rw * rw * lv(rho21s) * sr)
 
     # radiation term: IR-only at night (totr[0] < 1)
-    ib0_solar = totr[0] >= 1.0
-    band_w = jnp.where(jnp.arange(totr.shape[0]) >= 6, 1.0,
-                       jnp.where(ib0_solar, 1.0, 0.0))
+    ib0_solar = totr[:, 0] >= 1.0                   # [L]
+    band_w = jnp.where(jnp.arange(totr.shape[1]) >= 6, 1.0,
+                       jnp.where(ib0_solar[:, None], 1.0, 0.0))  # [L, mb]
     de0 = dew                                   # [nkt]
     dep = jnp.concatenate([dew[1:], dew[-1:]])  # dew[min(jt+1, nkt-1)]
     qabs_c = qabs_kr                            # [mb, nkt, nka]
     qabs_p = jnp.concatenate([qabs_c[:, 1:, :], qabs_c[:, -1:, :]], axis=1)
-    rad = jnp.einsum("b,b,btk->tk", totr, band_w,
+    rad = jnp.einsum("lb,btk->ltk", totr * band_w,
                      (qabs_c * de0[None, :, None]
-                      + qabs_p * dep[None, :, None])) / (de0 + dep)[:, None]
-    cr = rad * 7.5e5 / (rw * x1) - RHOW * 4190.0 * (tn - to) / (dt * x1)
+                      + qabs_p * dep[None, :, None])) \
+        / (de0 + dep)[None, :, None]
+    cr = rad * 7.5e5 / (rw * x1) - RHOW * 4190.0 * lv(tn - to) / (dt * x1)
     if os.environ.get("MISTRA_SUBKON_NORAD"):
         cr = jnp.zeros_like(cr)
 
     falt = ffk
+    falt_t = jnp.swapaxes(falt, 1, 2)               # [L, nka, nkt]
 
     feuneu0 = jnp.where(feualt < 0.95,
                         xm1n * pp / (p21(tn) * (0.62198 + 0.37802 * xm1n)),
@@ -376,16 +514,16 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
 
     def body(carry, itk):
         ffk, to, xm1o, fquer, fqa, res_prev, done = carry
-        c = (cd * (fquer - sr) - cr) / dlne          # [nkt, nka]
+        c = (cd * (lv(fquer) - sr) - cr) / dlne      # [L, nkt, nka]
         # staggered velocities along the water-mass axis per dry bin
-        c_t = c.T                                    # [nka, nkt]
-        u_mid = 0.5 * (c_t[:, 1:-1] + jnp.abs(c_t[:, 1:-1])
-                       + c_t[:, :-2] - jnp.abs(c_t[:, :-2]))
+        c_t = jnp.swapaxes(c, 1, 2)                  # [L, nka, nkt]
+        u_mid = 0.5 * (c_t[..., 1:-1] + jnp.abs(c_t[..., 1:-1])
+                       + c_t[..., :-2] - jnp.abs(c_t[..., :-2]))
         u = jnp.concatenate([
-            jnp.maximum(0.0, c_t[:, :1]), u_mid,
-            jnp.minimum(0.0, c_t[:, -2:-1])], axis=1)  # [nka, nkt]
-        psi = bott_bin_advection(dt, u, falt.T).T     # [nkt, nka]
-        dwsum = jnp.sum((psi - falt) * e[:, None])
+            jnp.maximum(0.0, c_t[..., :1]), u_mid,
+            jnp.minimum(0.0, c_t[..., -2:-1])], axis=-1)  # [L, nka, nkt]
+        psi = jnp.swapaxes(bott_bin_advection(dt, u, falt_t), 1, 2)
+        dwsum = jnp.sum((psi - falt) * e[None, :, None], axis=(1, 2))
         dmsum = dwsum / rho
         dtsum = xldcp * dmsum
         xm1o_new = xm1n - dmsum
@@ -399,8 +537,8 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
                        (fqa - fquer) / dres, aa0)
         fquer_new = fquer + aa * res
 
-        upd = ~done
-        ffk = jnp.where(upd, psi, ffk)
+        upd = ~done                                  # [L]
+        ffk = jnp.where(lv(upd), psi, ffk)
         to = jnp.where(upd, to_new, to)
         xm1o = jnp.where(upd, xm1o_new, xm1o)
         fqa = jnp.where(upd, fquer, fqa)
@@ -409,8 +547,8 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
         done = done | conv
         return (ffk, to, xm1o, fquer, fqa, res_out, done), None
 
-    init = (ffk, to, xm1o, fquer0, fquer0, jnp.zeros((), dtype),
-            jnp.zeros((), bool))
+    init = (ffk, to, xm1o, fquer0, fquer0, jnp.zeros((L,), dtype),
+            jnp.zeros((L,), bool))
     n_iter = int(os.environ.get("MISTRA_SUBKON_ITERS", "10"))
     # lax.scan, NOT a while/fori loop: on the current TPU runtime a
     # while-loop around this body executes ~150x slower than the rolled
@@ -462,17 +600,23 @@ def kon(model, state, dt):
         kr = 2
     qabs_kr = qabs[:, :, :, kr - 1]
 
-    ff_lv = jnp.moveaxis(mic.ff, 2, 0)  # [n, nkt, nka]
+    # only levels 1..nf (reference 2..nf+1) run the growth solve; slicing
+    # them out saves a third of the dominant Bott-walk work (n=150, nf=100)
+    lo, hi = 1, nf + 1
+    ff_lv = jnp.moveaxis(mic.ff, 2, 0)[lo:hi]  # [nf, nkt, nka]
 
-    def one_level(ffk, totr, dfdt, feualt, pp, to, tn, xm1o, xm1n):
-        return subkon(dt, ffk, totr, dfdt, feualt, pp, to, tn, xm1o, xm1n,
-                      qabs_kr, (a0m, b0m), micro_grid)
+    ffk_new, to_sl, xm1o_sl, _ = subkon(
+        dt, ff_lv, state.rad.totrad.T[lo:hi], met.dfddt[lo:hi],
+        feu_eff[lo:hi], met.p[lo:hi], met.talt[lo:hi],
+        met.t[lo:hi], met.xm1a[lo:hi], met.xm1[lo:hi],
+        qabs_kr, (a0m, b0m), micro_grid)
 
-    ffk_new, to_new, xm1o_new, _ = jax.vmap(one_level)(
-        ff_lv, state.rad.totrad.T, met.dfddt, feu_eff, met.p, met.talt,
-        met.t, met.xm1a, met.xm1)
+    def back(x_sl, full):
+        return jnp.concatenate([full[:lo], x_sl, full[hi:]], axis=0)
 
-    ff_moist = jnp.moveaxis(ffk_new, 0, 2)
+    to_new = back(to_sl, met.talt)
+    xm1o_new = back(xm1o_sl, met.xm1a)
+    ff_moist = jnp.moveaxis(back(ffk_new, jnp.moveaxis(mic.ff, 2, 0)), 0, 2)
     e = jnp.asarray(micro_grid.e, dtype)
     xm2_moist = jnp.einsum("tan,t->n", ff_moist, e)
     feu_moist = xm1o_new * met.p / ((0.62198 + 0.37802 * xm1o_new)

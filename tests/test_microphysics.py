@@ -85,6 +85,54 @@ class TestBottBinAdvection:
                 1.0, jnp.asarray(u[b]), jnp.asarray(z[b])))
             np.testing.assert_allclose(outb[b], single, atol=1e-14)
 
+    def test_banded_walk_matches_vector_walk(self):
+        from mistra_tpu.physics.growth import _walk_banded, _walk_vector
+        rng = np.random.default_rng(7)
+        nkt = 70
+        # mixed-sign velocity fields incl. zeros, large and tiny magnitudes
+        u = rng.uniform(-3.0, 3.0, (64, nkt))
+        u[rng.uniform(size=u.shape) < 0.15] = 0.0
+        u[0, :] = 5.0          # fast everywhere: long walks
+        u[1, :] = -5.0
+        u[2, :] = 1e-8         # slow
+        u = jnp.asarray(u)
+        for dt in (1.0, 10.0):
+            xv = np.asarray(_walk_vector(dt, u))
+            xb = np.asarray(_walk_banded(dt, u, nkt))   # J = nkt: exact
+            np.testing.assert_allclose(xb, xv, rtol=1e-6, atol=1e-5)
+
+    def test_banded_band_sufficient_for_moderate_walks(self):
+        from mistra_tpu.physics.growth import _walk_banded, _walk_vector
+        rng = np.random.default_rng(8)
+        u = jnp.asarray(rng.uniform(-2.0, 2.0, (32, 70)))
+        # dt=10 with |u|<2: walks can reach 20 bins; J=32 must be exact
+        xv = np.asarray(_walk_vector(10.0, u))
+        xb = np.asarray(_walk_banded(10.0, u, 32))
+        np.testing.assert_allclose(xb, xv, rtol=1e-6, atol=1e-5)
+
+    def test_banded_deposit_clamps_offgrid_to_edges(self):
+        # u>0 everywhere and huge: everything must pile up in the top bin
+        z = jnp.asarray(np.linspace(1.0, 2.0, 70))
+        out = np.asarray(bott_bin_advection(10.0, jnp.full(70, 50.0), z,
+                                            band=70))
+        np.testing.assert_allclose(out[-1], float(jnp.sum(z)), rtol=1e-6)
+        assert np.all(out[:-1] == 0.0)
+        out2 = np.asarray(bott_bin_advection(10.0, jnp.full(70, -50.0), z,
+                                             band=70))
+        np.testing.assert_allclose(out2[0], float(jnp.sum(z)), rtol=1e-6)
+        assert np.all(out2[1:] == 0.0)
+
+    def test_banded_clamp_conserves_mass(self):
+        # walks longer than the band are clamped to the band edge but must
+        # conserve mass and stay positive
+        rng = np.random.default_rng(9)
+        z = jnp.asarray(rng.uniform(0.1, 1.0, (4, 70)))
+        u = jnp.asarray(rng.uniform(-60.0, 60.0, (4, 70)))
+        out = np.asarray(bott_bin_advection(10.0, u, z, band=16))
+        assert np.all(out >= 0)
+        np.testing.assert_allclose(out.sum(-1), np.asarray(z).sum(-1),
+                                   rtol=1e-5)
+
 
 class TestAdvsed:
     def test_advsed0_mass_conserving(self):
