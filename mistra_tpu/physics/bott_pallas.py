@@ -108,10 +108,12 @@ def _walk_right_banded(dt, u, i, J, nkt):
     return jnp.where(kstar < b, x_frac, x_barrier)
 
 
-def _bott_kernel(u_ref, z_ref, rev_ref, out_ref, *, dt, J, nkt):
-    u = u_ref[:]
-    z = z_ref[:]
-    R = rev_ref[:]                       # [nkt, nkt] reversal permutation
+def _walk_and_split(u, z, R, dt, J, nkt):
+    """Shared part: characteristic walk + Bott polynomial split.
+
+    Returns (k_low, k_high, w_lo, w_hi, i) — the two destination bins and
+    mass fractions for every source bin.
+    """
     dtype = u.dtype
     i = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
     i_f = i.astype(dtype)
@@ -164,6 +166,15 @@ def _bott_kernel(u_ref, z_ref, rev_ref, out_ref, *, dt, J, nkt):
     active = z >= YMIN
     w_lo = jnp.where(active, z - x1, 0.0)
     w_hi = jnp.where(active, x1, 0.0)
+    return k_low, k_high, w_lo, w_hi, i
+
+
+def _bott_kernel(u_ref, z_ref, rev_ref, out_ref, *, dt, J, nkt):
+    u = u_ref[:]
+    z = z_ref[:]
+    dtype = u.dtype
+    k_low, k_high, w_lo, w_hi, i = _walk_and_split(u, z, rev_ref[:],
+                                                   dt, J, nkt)
 
     # ---- banded shift-accumulate deposit ---------------------------------
     D = J + 2
@@ -175,6 +186,7 @@ def _bott_kernel(u_ref, z_ref, rev_ref, out_ref, *, dt, J, nkt):
     over_b = jnp.sum(jnp.where(dk_lo < -D, w_lo, 0.0)
                      + jnp.where(dk_hi < -D, w_hi, 0.0),
                      axis=1, keepdims=True)
+
     def dep_body(k, out):
         d = k - D
         v = (jnp.where(dk_lo == d, w_lo, 0.0)
@@ -186,6 +198,28 @@ def _bott_kernel(u_ref, z_ref, rev_ref, out_ref, *, dt, J, nkt):
     out = out + jnp.where(i == 0, over_b, 0.0) \
               + jnp.where(i == nkt - 1, over_t, 0.0)
     out_ref[:] = out
+
+
+def _dwsum_kernel(u_ref, z_ref, rev_ref, out_ref, *, dt, J, nkt,
+                  loge0, lnfac):
+    """Water-mass change of the advection WITHOUT depositing the spectrum:
+    dw_row = sum_i w_lo*e[k_low] + w_hi*e[k_high] - z*e[i], using the
+    exactly-geometric mass grid e[k] = exp(loge0 + k*lnfac).  This is all
+    the Newton iteration of subkon needs (the spectrum itself is
+    reconstructed once after convergence) and skips the deposit loop —
+    nearly half the full kernel's work."""
+    u = u_ref[:]
+    z = z_ref[:]
+    dtype = u.dtype
+    k_low, k_high, w_lo, w_hi, i = _walk_and_split(u, z, rev_ref[:],
+                                                   dt, J, nkt)
+
+    def e_of(k):
+        return jnp.exp(loge0 + k.astype(dtype) * lnfac)
+
+    gain = w_lo * e_of(k_low) + w_hi * e_of(k_high)
+    loss = jnp.where(i < nkt, z, 0.0) * e_of(i)
+    out_ref[:] = jnp.sum(gain - loss, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "band", "block_rows"))
@@ -242,3 +276,55 @@ def bott_advect_tpu(u, z, dt, band=32, block_rows=256):
     )(u2, z2, rev_mat)
     out = out[:m, :nkt]
     return out.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "band", "block_rows",
+                                             "loge0", "lnfac"))
+def bott_dwsum_tpu(u, z, dt, loge0, lnfac, band=32, block_rows=256):
+    """Per-row water-mass change of the banded Bott advection (no deposit).
+
+    Args as bott_advect_tpu plus the geometric mass grid parameters
+    (e[k] = exp(loge0 + k*lnfac)).  Returns [...] row sums (leading shape
+    of z without the bin axis): sum_k (psi - z)[k] * e[k].
+    """
+    shape = z.shape
+    nkt = shape[-1]
+    J = min(band, nkt)
+    u = jnp.broadcast_to(u, shape)
+    m = 1
+    for s in shape[:-1]:
+        m *= s
+    u2 = u.reshape(m, nkt)
+    z2 = z.reshape(m, nkt)
+    tm = min(block_rows, m)
+    pad = (-m) % tm
+    if pad:
+        u2 = jnp.concatenate([u2, jnp.zeros((pad, nkt), u.dtype)], axis=0)
+        z2 = jnp.concatenate([z2, jnp.zeros((pad, nkt), z.dtype)], axis=0)
+    mp = m + pad
+    nkp = -(-nkt // 128) * 128
+    cpad = nkp - nkt
+    if cpad:
+        u2 = jnp.pad(u2, ((0, 0), (0, cpad)))
+        z2 = jnp.pad(z2, ((0, 0), (0, cpad)))
+    rev_mat = jnp.zeros((nkp, nkp), z.dtype)
+    rev_mat = rev_mat.at[:nkt, :nkt].set(jnp.eye(nkt, dtype=z.dtype)[:, ::-1])
+
+    kernel = functools.partial(_dwsum_kernel, dt=float(dt), J=J, nkt=nkt,
+                               loge0=float(loge0), lnfac=float(lnfac))
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, nkp), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, nkp), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkp, nkp), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, 1), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), z.dtype),
+    )(u2, z2, rev_mat)
+    return out[:m, 0].reshape(shape[:-1])

@@ -428,6 +428,32 @@ def bott_bin_advection(dt, u, z, band=None):
     return jnp.sum(contrib, axis=-2)
 
 
+def bott_dwsum(dt, u, z, e, band=None):
+    """Water-mass change sum_k (psi - z)[k] * e[k] of the Bott advection,
+    per row, WITHOUT materializing psi.
+
+    On TPU this dispatches the deposit-free Pallas kernel (the mass grid
+    e is exactly geometric, grids.py:195-201, so destination masses are
+    exp-reconstructed in-register).  Elsewhere it simply advects and sums.
+    """
+    import numpy as np
+    walk = _WALK
+    if walk == "auto":
+        walk = "pallas" if jax.default_backend() == "tpu" else "banded"
+    if walk == "pallas":
+        from .bott_pallas import bott_dwsum_tpu
+        e_np = np.asarray(e)
+        nkt = z.shape[-1]
+        lnfac = float(np.log(e_np[-1] / e_np[0]) / (len(e_np) - 1))
+        loge0 = float(np.log(e_np[0]))
+        J = min(band if band is not None else _BAND, nkt)
+        ubc = jnp.broadcast_to(jnp.asarray(u, z.dtype), z.shape)
+        return bott_dwsum_tpu(ubc, z, float(dt), loge0, lnfac, band=J)
+    psi = bott_bin_advection(dt, u, z, band=band)
+    e_row = jnp.asarray(e, z.dtype)
+    return jnp.sum((psi - z) * e_row, axis=-1)
+
+
 # --------------------------------------------------------------------------
 # subkon: condensation solve, vectorized over all levels at once
 # --------------------------------------------------------------------------
@@ -512,18 +538,23 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
     fquer0 = 0.5 * (feuneu0 + feualt)
     aa0 = 1.0 / dt
 
-    def body(carry, itk):
-        ffk, to, xm1o, fquer, fqa, res_prev, done = carry
+    def velocities(fquer):
+        """Staggered growth velocities along the water-mass axis."""
         c = (cd * (lv(fquer) - sr) - cr) / dlne      # [L, nkt, nka]
-        # staggered velocities along the water-mass axis per dry bin
         c_t = jnp.swapaxes(c, 1, 2)                  # [L, nka, nkt]
         u_mid = 0.5 * (c_t[..., 1:-1] + jnp.abs(c_t[..., 1:-1])
                        + c_t[..., :-2] - jnp.abs(c_t[..., :-2]))
-        u = jnp.concatenate([
+        return jnp.concatenate([
             jnp.maximum(0.0, c_t[..., :1]), u_mid,
             jnp.minimum(0.0, c_t[..., -2:-1])], axis=-1)  # [L, nka, nkt]
-        psi = jnp.swapaxes(bott_bin_advection(dt, u, falt_t), 1, 2)
-        dwsum = jnp.sum((psi - falt) * e[None, :, None], axis=(1, 2))
+
+    def body(carry, itk):
+        # scalar-only Newton iteration: the spectrum update is replayed
+        # once after convergence from fquer_used (the advection's water-
+        # mass change dwsum is all the iteration needs)
+        to, xm1o, fquer, fquer_used, fqa, res_prev, done = carry
+        u = velocities(fquer)
+        dwsum = jnp.sum(bott_dwsum(dt, u, falt_t, micro.e), axis=-1)
         dmsum = dwsum / rho
         dtsum = xldcp * dmsum
         xm1o_new = xm1n - dmsum
@@ -538,25 +569,44 @@ def subkon(dt, ffk, totr, dfdt, feualt, pp, to_in, tn, xm1o_in, xm1n,
         fquer_new = fquer + aa * res
 
         upd = ~done                                  # [L]
-        ffk = jnp.where(lv(upd), psi, ffk)
+        fquer_used = jnp.where(upd, fquer, fquer_used)
         to = jnp.where(upd, to_new, to)
         xm1o = jnp.where(upd, xm1o_new, xm1o)
         fqa = jnp.where(upd, fquer, fqa)
         fquer = jnp.where(upd, fquer_new, fquer)
         res_out = jnp.where(upd, res, res_prev)
         done = done | conv
-        return (ffk, to, xm1o, fquer, fqa, res_out, done), None
+        return (to, xm1o, fquer, fquer_used, fqa, res_out, done), None
 
-    init = (ffk, to, xm1o, fquer0, fquer0, jnp.zeros((L,), dtype),
+    init = (to, xm1o, fquer0, fquer0, fquer0, jnp.zeros((L,), dtype),
             jnp.zeros((L,), bool))
     n_iter = int(os.environ.get("MISTRA_SUBKON_ITERS", "10"))
-    # lax.scan, NOT a while/fori loop: on the current TPU runtime a
-    # while-loop around this body executes ~150x slower than the rolled
-    # scan form (round-4 A/B: 20 s vs 138 ms per kon call at batch=8),
-    # and an unrolled static loop destabilizes the compile.
-    (ffk, to, xm1o, _, _, _, done), _ = jax.lax.scan(
-        body, init, jnp.arange(n_iter))
-    return ffk, to, xm1o, done
+    if os.environ.get("MISTRA_SUBKON_LOOP", "while") == "while":
+        # early-exit form: stop as soon as every level converged (the
+        # reference's per-level exit, lifted to the block).  The round-3
+        # while-loop pathology (~150x) was specific to the gather-heavy
+        # body; with the Pallas kernel the while form is ~3x faster than
+        # the fixed 10-iteration scan (typical convergence: 2-4 iters).
+        def w_cond(c):
+            itk, carry = c
+            return (itk < n_iter) & jnp.any(~carry[-1])
+
+        def w_body(c):
+            itk, carry = c
+            carry, _ = body(carry, itk)
+            return itk + 1, carry
+
+        _, (to, xm1o, _, fquer_used, _, _, done) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.zeros((), jnp.int32), init))
+    else:
+        (to, xm1o, _, fquer_used, _, _, done), _ = jax.lax.scan(
+            body, init, jnp.arange(n_iter))
+
+    # replay: one full advection at each level's converged fquer gives
+    # exactly the spectrum the in-loop masked update would have kept
+    psi = jnp.swapaxes(
+        bott_bin_advection(dt, velocities(fquer_used), falt_t), 1, 2)
+    return psi, to, xm1o, done
 
 
 # --------------------------------------------------------------------------
