@@ -11,6 +11,7 @@ Usage: python benchmarks/bench_chem.py [--mech gas|tot] [--cells N]
 from __future__ import annotations
 
 import argparse
+import numpy as np
 import json
 import os
 import sys
@@ -91,9 +92,23 @@ def main():
         env = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
                       ph_rat=phj, xhal=1.0, xiod=1.0)
 
-    # plausible initial concentrations: log-uniform 1e-12..1e-7 mol/m3
-    y0 = 10.0 ** jax.random.uniform(key, (B, mech.nvar), dtype,
-                                    minval=-12.0, maxval=-7.0)
+    # physical initial concentrations: the reference's ground-level gas
+    # mixing ratios (gas_species.csv, as initc kpp.f90:33 loads them) with
+    # a +-50% per-cell log-perturbation; random log-uniform states are
+    # unphysically stiff (Jacobian entries ~1e15 from radical-radical
+    # terms) and measure rejection-loop throughput, not chemistry
+    from mistra_tpu.chemistry.gas_kernel import load_species_csv
+    sp_csv = load_species_csv(mechdir + "/gas_species.csv")
+    name2i = {s: i for i, s in enumerate(mech.species)}
+    conv = 42.3e-9                                  # ppb -> mol/m3 at sfc
+    y0_np = np.zeros((B, mech.nvar))  # unspecified species start at exactly 0 (initc)
+    for s in sp_csv:
+        if s["name"] in name2i and s["ground_ppb"] > 0:
+            y0_np[:, name2i[s["name"]]] = s["ground_ppb"] * conv
+    import numpy as np_mod
+    rng = np_mod.random.default_rng(0)
+    y0 = jnp.asarray(y0_np * np_mod.exp(rng.uniform(-0.5, 0.5, y0_np.shape)),
+                     dtype)
 
     k = kernel.rate_constants(env, fix=fix)
 

@@ -23,7 +23,13 @@ from . import rosenbrock
 
 
 class GasKernel:
-    def __init__(self, mech: Mechanism, dtype=jnp.float64):
+    # mechanisms up to this size use the unrolled static-sparse LU; the
+    # tot mechanism (nvar=421, ~350k elimination ops) would blow up the
+    # trace and keeps the dense batched path for now
+    SPARSE_NVAR_MAX = 300
+
+    def __init__(self, mech: Mechanism, dtype=jnp.float64,
+                 use_sparse: bool | None = None):
         self.mech = mech
         self.dtype = dtype
         self.nvar = mech.nvar
@@ -39,6 +45,14 @@ class GasKernel:
             m[np.nonzero(valid)[0], col[valid]] = 1.0
             oh.append(m)
         self.onehot = jnp.asarray(np.stack(oh), dtype)      # [3, nrxn, nvar]
+        if use_sparse is None:
+            use_sparse = mech.nvar <= self.SPARSE_NVAR_MAX
+        self.slu = None
+        if use_sparse:
+            from .sparse_lu import (SparseLU, jac_pattern_from_mech,
+                                    sparse_jac_terms)
+            self.slu = SparseLU(jac_pattern_from_mech(mech), mech.nvar)
+            self._jac_terms = sparse_jac_terms(mech, self.slu)
 
     # ------------------------------------------------------------------
     def rate_constants(self, env: RateEnv, fix=None) -> jnp.ndarray:
@@ -105,11 +119,36 @@ class GasKernel:
                                    self.onehot[l])
         return jac
 
+    def jac_slot_values(self, y, k, fix):
+        """Jacobian values per LU slot (permuted order) for the sparse
+        path: list of [B] arrays (fill-in slots are constant zero)."""
+        cx = self._cx(y, fix)
+        cr = cx[:, self.ridx]                        # [B, nrxn, 3]
+        p0, p1, p2 = cr[..., 0], cr[..., 1], cr[..., 2]
+        kw = (k * p1 * p2, k * p0 * p2, k * p0 * p1)  # per-slot weights
+        zero = jnp.zeros(y.shape[:1], y.dtype)
+        vals = []
+        for s in range(self.slu.nnz):
+            terms = self._jac_terms[s]
+            if not terms:
+                vals.append(zero)
+                continue
+            acc = None
+            for (l, r, coeff) in terms:
+                t = kw[l][:, r] if coeff == 1.0 else coeff * kw[l][:, r]
+                acc = t if acc is None else acc + t
+            vals.append(acc)
+        return vals
+
     # ------------------------------------------------------------------
     def integrate(self, y0, k, fix, dt,
                   opts: rosenbrock.RosOptions = rosenbrock.RosOptions()):
         """Advance the batch of cells by dt seconds."""
         fun = lambda y: self.fun(y, k, fix)
+        if self.slu is not None:
+            jac = lambda y: self.jac_slot_values(y, k, fix)
+            return rosenbrock.integrate(fun, jac, y0, dt, opts,
+                                        sparse=self.slu)
         jac = lambda y: self.jac(y, k, fix)
         return rosenbrock.integrate(fun, jac, y0, dt, opts)
 

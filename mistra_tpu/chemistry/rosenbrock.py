@@ -48,38 +48,75 @@ DELTA_MIN = 1.0e-5
 @dataclass(frozen=True)
 class RosOptions:
     rtol: float = 1.0e-3
-    atol: float = 1.0e-25
+    atol: float = 1.0e-25   # reference value (gas.f:739-747); f64 semantics
     hstart: float = 1.0e-3
     hmin: float = 0.0
     max_steps: int = 400
 
+    def for_dtype(self, dtype):
+        """The reference ATOL=1e-25 assumes f64: in f32 it sits far below
+        rounding noise (yerr ~ eps_f32 * |y| ~ 1e-14 for mol/m3 fields),
+        so the error norm can never pass and every cell burns max_steps
+        rejections.  Use an atol at the f32 noise floor instead."""
+        if jnp.finfo(dtype).eps > 1e-10 and self.atol < 1e-18:
+            from dataclasses import replace
+            return replace(self, atol=1.0e-16)
+        return self
 
-def integrate(fun, jac, y0, tend, opts: RosOptions = RosOptions()):
+
+def integrate(fun, jac, y0, tend, opts: RosOptions = RosOptions(),
+              sparse=None):
     """Integrate dy/dt = fun(y) from 0 to tend for a batch of cells.
 
     Args:
       fun: (B, nvar) -> (B, nvar) tendencies (autonomous).
-      jac: (B, nvar) -> (B, nvar, nvar) dense Jacobian.
+      jac: (B, nvar) -> (B, nvar, nvar) dense Jacobian, or — when
+        ``sparse`` is given — (B, nvar) -> list of [B] Jacobian values in
+        the SparseLU's permuted slot order.
       y0: [B, nvar] initial concentrations.
       tend: scalar integration length [s].
+      sparse: optional SparseLU (chemistry/sparse_lu.py).  The stage
+        matrix I/(h*gamma) - J is then factorized by the pivot-free
+        static-structure elimination unrolled over the batch (the
+        reference's KppDecomp/KppSolve design, gas.f:6142-6177), instead
+        of the dense pivoted LU that dominates TPU runtime.
 
     Returns (y_final [B, nvar], info dict).
     """
     B, nvar = y0.shape
     dtype = y0.dtype
+    opts = opts.for_dtype(dtype)
     roundoff = jnp.finfo(dtype).eps
     hmax = tend
 
     eye = jnp.eye(nvar, dtype=dtype)
+    if sparse is not None:
+        perm = [int(p) for p in sparse.perm]
+        inv = [0] * nvar
+        for newi, old in enumerate(perm):
+            inv[old] = newi
+        inv_idx = jnp.asarray(inv)
+        diag_slots = [sparse.slots[(i, i)] for i in range(nvar)]
 
     def step_attempt(y, h, fcn0, jac0):
         """One Ros3 step from y with step h.  Returns (ynew, yerr)."""
         ghinv = 1.0 / (h * ROS_GAMMA)
-        A = ghinv[:, None, None] * eye[None] - jac0       # [B, nvar, nvar]
-        lu, piv = jax.scipy.linalg.lu_factor(A)
+        if sparse is None:
+            A = ghinv[:, None, None] * eye[None] - jac0   # [B, nvar, nvar]
+            lu, piv = jax.scipy.linalg.lu_factor(A)
 
-        def solve(rhs):
-            return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            def solve(rhs):
+                return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        else:
+            A = [-v for v in jac0]
+            for i in range(nvar):
+                A[diag_slots[i]] = A[diag_slots[i]] + ghinv
+            A = sparse.decompose(A)
+
+            def solve(rhs):
+                b = [rhs[:, perm[i]] for i in range(nvar)]
+                x = sparse.solve(A, b)
+                return jnp.take(jnp.stack(x, axis=-1), inv_idx, axis=-1)
 
         # stage 1
         k1 = solve(fcn0)

@@ -319,7 +319,7 @@ def bott_bin_advection(dt, u, z, band=None):
     if walk == "auto":
         # fused Pallas kernel on TPU; banded rolled XLA elsewhere (the
         # kernel's VPU formulation interprets poorly on CPU)
-        walk = "pallas" if jax.default_backend() == "tpu" else "banded"
+        walk = "pallas" if _tracing_for_tpu() else "banded"
     if walk == "pallas":
         from .bott_pallas import bott_advect_tpu
         J = min(band if band is not None else _BAND, nkt)
@@ -428,6 +428,16 @@ def bott_bin_advection(dt, u, z, band=None):
     return jnp.sum(contrib, axis=-2)
 
 
+def _tracing_for_tpu() -> bool:
+    """True when jit traces for a TPU device: honours the
+    ``jax.default_device(...)`` override (e.g. the bench's CPU baseline
+    runs with the TPU platform initialized but a CPU default device)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev)) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def bott_dwsum(dt, u, z, e, band=None):
     """Water-mass change sum_k (psi - z)[k] * e[k] of the Bott advection,
     per row, WITHOUT materializing psi.
@@ -439,7 +449,7 @@ def bott_dwsum(dt, u, z, e, band=None):
     import numpy as np
     walk = _WALK
     if walk == "auto":
-        walk = "pallas" if jax.default_backend() == "tpu" else "banded"
+        walk = "pallas" if _tracing_for_tpu() else "banded"
     if walk == "pallas":
         from .bott_pallas import bott_dwsum_tpu
         e_np = np.asarray(e)
