@@ -60,7 +60,6 @@ def main():
     pk = jnp.full((B,), 1.013e5, dtype)
     phj = jnp.full((B, 47), 1.0e-5, dtype)       # daytime-magnitude J's
 
-    extras = None
     fix_names = list(mech.fixed)
     fix_cols = {"O2": 0.21 * air, "N2": 0.79 * air,
                 "H2O": jnp.full((B,), 0.5, dtype)}
@@ -68,29 +67,14 @@ def main():
         fix_cols[f"H2Ol{b}"] = jnp.zeros((B,), dtype)
     fix = jnp.stack([fix_cols.get(s, jnp.zeros((B,), dtype))
                      for s in fix_names], axis=-1)
+    env = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
+                  ph_rat=phj, xhal=1.0, xiod=1.0)
     if args.mech == "tot":
         # aqueous machinery off (dry cells): zero transfer/equilibria
-        from mistra_tpu.chemistry.driver_aq import MultiphaseDriver
-        zeros = jnp.zeros((B,), dtype)
-        extras = {}
-        env0 = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
-                       ph_rat=phj, xhal=1.0, xiod=1.0)
-        ns_probe = set()
-        import mistra_tpu.chemistry.rates as rates_mod
-        base_ns = rates_mod.make_namespace(env0)
-        for rx in mech.reactions:
-            try:
-                eval(rx.rate_expr, {"__builtins__": {}}, dict(base_ns))
-            except NameError as exc:
-                ns_probe.add(str(exc).split("'")[1])
-            except Exception:
-                pass
-        extras = {nm: zeros for nm in ns_probe}
+        from mistra_tpu.chemistry.rates import probe_dry_extras
+        extras = probe_dry_extras(mech, env, jnp.zeros((B,), dtype))
         env = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
                       ph_rat=phj, xhal=1.0, xiod=1.0, extras=extras)
-    else:
-        env = RateEnv(te=te, aircc=aircc, h2oppm=h2oppm, pk=pk,
-                      ph_rat=phj, xhal=1.0, xiod=1.0)
 
     # physical initial concentrations: the reference's ground-level gas
     # mixing ratios (gas_species.csv, as initc kpp.f90:33 loads them) with

@@ -23,13 +23,16 @@ from . import rosenbrock
 
 
 class GasKernel:
-    # mechanisms up to this size use the unrolled static-sparse LU; the
-    # tot mechanism (nvar=421, ~350k elimination ops) would blow up the
-    # trace and keeps the dense batched path for now
+    # mechanisms up to this size use the unrolled static-sparse LU
+    # (the trace-unrolled KppDecomp/KppSolve form); larger binned
+    # mechanisms (tot: nvar=421, an unrolled schedule would be ~350k
+    # traced ops) use the block-arrow dense solver with the Pallas
+    # batched-inverse kernel (block_solver.py)
     SPARSE_NVAR_MAX = 300
 
     def __init__(self, mech: Mechanism, dtype=jnp.float64,
-                 use_sparse: bool | None = None):
+                 use_sparse: bool | None = None,
+                 solver: str | None = None):
         self.mech = mech
         self.dtype = dtype
         self.nvar = mech.nvar
@@ -38,21 +41,46 @@ class GasKernel:
         self.ridx = jnp.asarray(mech.ridx)                  # [nrxn, 3]
         # per-slot one-hot for the Jacobian scatter (zero rows for fixed)
         oh = []
+        ohx = []
+        nex = mech.nvar + 1 + len(mech.fixed)
         for l in range(MAX_REACTANTS):
             col = mech.ridx[:, l]
             m = np.zeros((mech.nrxn, mech.nvar))
             valid = col < mech.nvar
             m[np.nonzero(valid)[0], col[valid]] = 1.0
             oh.append(m)
+            mx = np.zeros((mech.nrxn, nex))
+            mx[np.arange(mech.nrxn), col] = 1.0
+            ohx.append(mx)
         self.onehot = jnp.asarray(np.stack(oh), dtype)      # [3, nrxn, nvar]
-        if use_sparse is None:
-            use_sparse = mech.nvar <= self.SPARSE_NVAR_MAX
+        # one-hot over the extended concentration vector (vars + 1 + fix)
+        # so reactant gathers become MXU matmuls for large mechanisms
+        self.onehot_cx = jnp.asarray(np.stack(ohx), dtype)  # [3, nrxn, nex]
+        if solver is None:
+            if use_sparse is True:
+                solver = "sparse"
+            elif use_sparse is False:
+                solver = "dense"
+            elif mech.nvar <= self.SPARSE_NVAR_MAX:
+                solver = "sparse"
+            elif getattr(mech, "species_bin", None) is not None:
+                solver = "block"
+            else:
+                solver = "dense"
+        self.solver = solver
         self.slu = None
-        if use_sparse:
+        self.block = None
+        # reactant products via matmul one-hots (MXU) instead of
+        # cx[:, ridx] gathers for the big mechanisms
+        self.matmul_gather = solver == "block"
+        if solver == "sparse":
             from .sparse_lu import (SparseLU, jac_pattern_from_mech,
                                     sparse_jac_terms)
             self.slu = SparseLU(jac_pattern_from_mech(mech), mech.nvar)
             self._jac_terms = sparse_jac_terms(mech, self.slu)
+        elif solver == "block":
+            from .block_solver import BlockArrowSolver
+            self.block = BlockArrowSolver(mech, dtype=dtype)
 
     # ------------------------------------------------------------------
     def rate_constants(self, env: RateEnv, fix=None) -> jnp.ndarray:
@@ -91,18 +119,30 @@ class GasKernel:
         ones = jnp.ones((B, 1), y.dtype)
         return jnp.concatenate([y, ones, fix], axis=-1)
 
+    def _cr(self, cx):
+        """Reactant concentrations per slot [B, nrxn, 3]."""
+        if self.matmul_gather:
+            prec = jax.lax.Precision.HIGHEST
+            cr = jnp.einsum("bn,lrn->brl", cx, self.onehot_cx,
+                            precision=prec)
+            return cr
+        return cx[:, self.ridx]
+
     def fun(self, y, k, fix):
         """Tendencies [B, nvar] for concentrations y [B, nvar]."""
         cx = self._cx(y, fix)
-        cr = cx[:, self.ridx]                        # [B, nrxn, 3]
+        cr = self._cr(cx)                            # [B, nrxn, 3]
         r = k * jnp.prod(cr, axis=-1)                # [B, nrxn]
+        if self.matmul_gather:
+            return jnp.einsum("br,rs->bs", r, self.stoich,
+                              precision=jax.lax.Precision.HIGHEST)
         return r @ self.stoich                       # [B, nvar]
 
     def reaction_rates(self, y, k, fix):
         """Per-reaction mass-action rates [B, nrxn] (mol/m3/s), the
         quantity the reference budget files record (bud_g.f A(i)=RCT*...)."""
         cx = self._cx(y, fix)
-        cr = cx[:, self.ridx]
+        cr = self._cr(cx)
         return k * jnp.prod(cr, axis=-1)
 
     def jac(self, y, k, fix):
@@ -140,17 +180,50 @@ class GasKernel:
             vals.append(acc)
         return vals
 
+    def kw_weights(self, y, k, fix):
+        """Per-slot Jacobian weights kwcat [B, 3*nrxn]:
+        kw_l[r] = k_r * product of the other reactant concentrations
+        (the quantity every Jacobian entry is linear in)."""
+        cx = self._cx(y, fix)
+        cr = self._cr(cx)                            # [B, nrxn, 3]
+        p0, p1, p2 = cr[..., 0], cr[..., 1], cr[..., 2]
+        return jnp.concatenate(
+            [k * p1 * p2, k * p0 * p2, k * p0 * p1], axis=-1)
+
     # ------------------------------------------------------------------
     def integrate(self, y0, k, fix, dt,
                   opts: rosenbrock.RosOptions = rosenbrock.RosOptions()):
         """Advance the batch of cells by dt seconds."""
         fun = lambda y: self.fun(y, k, fix)
-        if self.slu is not None:
-            jac = lambda y: self.jac_slot_values(y, k, fix)
-            return rosenbrock.integrate(fun, jac, y0, dt, opts,
-                                        sparse=self.slu)
-        jac = lambda y: self.jac(y, k, fix)
-        return rosenbrock.integrate(fun, jac, y0, dt, opts)
+        if self.solver == "sparse":
+            linop = rosenbrock.SparseLinOp(
+                lambda y: self.jac_slot_values(y, k, fix),
+                self.slu, self.nvar)
+        elif self.solver == "block":
+            solver = self.block
+            jac_fn = lambda y: solver.assemble(self.kw_weights(y, k, fix))
+            linop = _BoundBlockLinOp(solver, jac_fn)
+        else:
+            linop = rosenbrock.DenseLinOp(
+                lambda y: self.jac(y, k, fix), self.nvar, self.dtype)
+        return rosenbrock.integrate(fun, linop, y0, dt, opts)
+
+
+class _BoundBlockLinOp:
+    """BlockArrowSolver bound to a Jacobian-assembly closure."""
+
+    def __init__(self, solver, jac_fn):
+        self._solver = solver
+        self._jac = jac_fn
+
+    def jac(self, y):
+        return self._jac(y)
+
+    def prepare(self, ctx, ghinv):
+        return self._solver.prepare(ctx, ghinv)
+
+    def solve(self, fact, rhs):
+        return self._solver.solve(fact, rhs)
 
 
 # --------------------------------------------------------------------------

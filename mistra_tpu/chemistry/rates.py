@@ -208,3 +208,40 @@ def make_namespace(env: RateEnv) -> dict:
     if env.extras:
         ns.update(env.extras)
     return ns
+
+
+def probe_dry_extras(mech, env: RateEnv, zeros, max_passes: int = 10):
+    """Namespace extras that zero out every aqueous/heterogeneous hook.
+
+    For running a multiphase mechanism on *dry* cells (no aqueous bins
+    bound — benchmarks, gas-only towers): iteratively evaluates every
+    rate expression, mapping each unresolved name to ``zeros`` (scalars
+    like ``xliq1``/``xhet1`` switches) or to a zero-returning callable
+    (``yxkmt``/``ycw``/``fdhet*`` hooks, kpp.f90:8198-8349).  Matches
+    the reference where those switches are 0 for cloud-free layers
+    (kpp.f90:4451-4468).
+    """
+    import re as _re
+
+    extras: dict = {}
+    for _ in range(max_passes):
+        trial = RateEnv(te=env.te, aircc=env.aircc, h2oppm=env.h2oppm,
+                        pk=env.pk, ph_rat=env.ph_rat, xhal=env.xhal,
+                        xiod=env.xiod, extras=dict(extras))
+        ns = make_namespace(trial)
+        missing = set()
+        for rx in mech.reactions:
+            try:
+                eval(rx.rate_expr, {"__builtins__": {}}, dict(ns))
+            except NameError as exc:
+                missing.add(str(exc).split("'")[1])
+            except Exception:
+                pass
+        missing -= set(extras)
+        if not missing:
+            break
+        for nm in missing:
+            is_fn = any(_re.search(rf"\b{nm}\s*\(", rx.rate_expr)
+                        for rx in mech.reactions)
+            extras[nm] = (lambda *a: 0.0) if is_fn else zeros
+    return extras

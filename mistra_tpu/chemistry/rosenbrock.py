@@ -5,15 +5,18 @@ Parity with the KPP-generated integrator of the reference
 gas.f:1474-1513; tolerances RTOL=1e-3, ATOL=1e-25, Hstart=1e-3 from
 gas.f:739-747).  TPU-first design decisions:
 
-* One kernel serves every mechanism size: the stage solves use a *dense*
-  batched LU (``jnp.linalg.solve``) over the cell batch — on TPU the
-  batched dense factorization maps onto the MXU, where the reference's
-  sequential sparse Doolittle elimination cannot; the extra FLOPs are
-  free compared to the VPU-bound alternative (SURVEY.md section 7.3).
+* The stage-matrix factorization/solve is pluggable (``linop``): a dense
+  batched LU for small mechanisms, the trace-unrolled static sparse LU
+  (sparse_lu.py) for the gas mechanism, or the block-arrow dense solver
+  (block_solver.py) whose Pallas kernels serve the 421-species tot
+  mechanism.
 * The per-cell adaptive stepping (accept/reject, step-size control)
   becomes a masked while-loop: all cells advance together, finished or
   rejected cells mask their updates, and the loop runs until every cell
-  reaches Tend (or the step floor).
+  reaches Tend.  A cell that exhausts ``max_steps`` is *frozen
+  individually* (matching the reference's per-cell failure warnings,
+  gas.f:764-767 / 1294-1325) instead of aborting the whole batch; the
+  ``info`` dict reports which cells failed.
 """
 
 from __future__ import annotations
@@ -64,24 +67,69 @@ class RosOptions:
         return self
 
 
-def integrate(fun, jac, y0, tend, opts: RosOptions = RosOptions(),
-              sparse=None):
+class DenseLinOp:
+    """Stage solves via batched dense LU with partial pivoting."""
+
+    def __init__(self, jac_fn, nvar, dtype):
+        self._jac = jac_fn
+        self._eye = jnp.eye(nvar, dtype=dtype)
+
+    def jac(self, y):
+        return self._jac(y)
+
+    def prepare(self, jac0, ghinv):
+        a = ghinv[:, None, None] * self._eye[None] - jac0
+        return jax.scipy.linalg.lu_factor(a)
+
+    def solve(self, fact, rhs):
+        return jax.scipy.linalg.lu_solve(fact, rhs)
+
+
+class SparseLinOp:
+    """Stage solves via the trace-unrolled static-structure sparse LU
+    (the KppDecomp/KppSolve design, gas.f:6142-6177)."""
+
+    def __init__(self, jac_fn, slu, nvar):
+        self._jac = jac_fn
+        self._slu = slu
+        perm = [int(p) for p in slu.perm]
+        inv = [0] * nvar
+        for newi, old in enumerate(perm):
+            inv[old] = newi
+        self._perm = perm
+        self._inv_idx = jnp.asarray(inv)
+        self._diag_slots = [slu.slots[(i, i)] for i in range(nvar)]
+        self._nvar = nvar
+
+    def jac(self, y):
+        return self._jac(y)
+
+    def prepare(self, jac0, ghinv):
+        a = [-v for v in jac0]
+        for i in range(self._nvar):
+            ds = self._diag_slots[i]
+            a[ds] = a[ds] + ghinv
+        return self._slu.decompose(a)
+
+    def solve(self, fact, rhs):
+        b = [rhs[:, p] for p in self._perm]
+        x = self._slu.solve(fact, b)
+        return jnp.take(jnp.stack(x, axis=-1), self._inv_idx, axis=-1)
+
+
+def integrate(fun, linop, y0, tend, opts: RosOptions = RosOptions()):
     """Integrate dy/dt = fun(y) from 0 to tend for a batch of cells.
 
     Args:
       fun: (B, nvar) -> (B, nvar) tendencies (autonomous).
-      jac: (B, nvar) -> (B, nvar, nvar) dense Jacobian, or — when
-        ``sparse`` is given — (B, nvar) -> list of [B] Jacobian values in
-        the SparseLU's permuted slot order.
+      linop: stage-solve operator with methods ``jac(y) -> ctx``,
+        ``prepare(ctx, ghinv) -> fact`` (factorize ghinv*I - J), and
+        ``solve(fact, rhs[B, nvar]) -> x``.
       y0: [B, nvar] initial concentrations.
       tend: scalar integration length [s].
-      sparse: optional SparseLU (chemistry/sparse_lu.py).  The stage
-        matrix I/(h*gamma) - J is then factorized by the pivot-free
-        static-structure elimination unrolled over the batch (the
-        reference's KppDecomp/KppSolve design, gas.f:6142-6177), instead
-        of the dense pivoted LU that dominates TPU runtime.
 
-    Returns (y_final [B, nvar], info dict).
+    Returns (y_final [B, nvar], info dict with per-cell ``t``,
+    ``nsteps``, ``done``, ``failed``).
     """
     B, nvar = y0.shape
     dtype = y0.dtype
@@ -89,45 +137,17 @@ def integrate(fun, jac, y0, tend, opts: RosOptions = RosOptions(),
     roundoff = jnp.finfo(dtype).eps
     hmax = tend
 
-    eye = jnp.eye(nvar, dtype=dtype)
-    if sparse is not None:
-        perm = [int(p) for p in sparse.perm]
-        inv = [0] * nvar
-        for newi, old in enumerate(perm):
-            inv[old] = newi
-        inv_idx = jnp.asarray(inv)
-        diag_slots = [sparse.slots[(i, i)] for i in range(nvar)]
-
-    def step_attempt(y, h, fcn0, jac0):
-        """One Ros3 step from y with step h.  Returns (ynew, yerr)."""
-        ghinv = 1.0 / (h * ROS_GAMMA)
-        if sparse is None:
-            A = ghinv[:, None, None] * eye[None] - jac0   # [B, nvar, nvar]
-            lu, piv = jax.scipy.linalg.lu_factor(A)
-
-            def solve(rhs):
-                return jax.scipy.linalg.lu_solve((lu, piv), rhs)
-        else:
-            A = [-v for v in jac0]
-            for i in range(nvar):
-                A[diag_slots[i]] = A[diag_slots[i]] + ghinv
-            A = sparse.decompose(A)
-
-            def solve(rhs):
-                b = [rhs[:, perm[i]] for i in range(nvar)]
-                x = sparse.solve(A, b)
-                return jnp.take(jnp.stack(x, axis=-1), inv_idx, axis=-1)
-
+    def step_attempt(y, h, fcn0, fact):
+        """One Ros3 step from y with factored stage matrix."""
         # stage 1
-        k1 = solve(fcn0)
+        k1 = linop.solve(fact, fcn0)
         # stage 2
         y2 = y + ROS_A21 * k1
         f2 = fun(y2)
-        k2 = solve(f2 + (ROS_C21 / h)[:, None] * k1)
+        k2 = linop.solve(fact, f2 + (ROS_C21 / h)[:, None] * k1)
         # stage 3 (no new function evaluation)
-        k3 = solve(f2 + (ROS_C31 / h)[:, None] * k1
-                   + (ROS_C32 / h)[:, None] * k2)
-
+        k3 = linop.solve(fact, f2 + (ROS_C31 / h)[:, None] * k1
+                         + (ROS_C32 / h)[:, None] * k2)
         ynew = y + ROS_M[0] * k1 + ROS_M[1] * k2 + ROS_M[2] * k3
         yerr = ROS_E[0] * k1 + ROS_E[1] * k2 + ROS_E[2] * k3
         return ynew, yerr
@@ -137,20 +157,25 @@ def integrate(fun, jac, y0, tend, opts: RosOptions = RosOptions(),
         scale = opts.atol + opts.rtol * ymax
         return jnp.sqrt(jnp.mean((yerr / scale) ** 2, axis=-1))
 
-    h0 = jnp.full((B,), min(max(opts.hmin, DELTA_MIN), hmax), dtype)
+    # start from Hstart (gas.f:739-747), floored at DELTA_MIN — the
+    # reference's ros_Integrator does the same clip (gas.f:1112+)
+    h0 = jnp.full((B,), min(max(opts.hstart, opts.hmin, DELTA_MIN),
+                            hmax), dtype)
 
     def cond(carry):
-        y, t, h, rej1, rej2, nstp, done = carry
-        return jnp.any(~done) & jnp.all(nstp < opts.max_steps)
+        y, t, h, rej1, rej2, nstp, done, failed = carry
+        return jnp.any(~done)
 
     def body(carry):
-        y, t, h, rej1, rej2, nstp, done = carry
+        y, t, h, rej1, rej2, nstp, done, failed = carry
         h_eff = jnp.minimum(h, tend - t)
         h_eff = jnp.maximum(h_eff, 10.0 * roundoff)
 
         fcn0 = fun(y)
-        jac0 = jac(y)
-        ynew, yerr = step_attempt(y, h_eff, fcn0, jac0)
+        jac0 = linop.jac(y)
+        ghinv = 1.0 / (h_eff * ROS_GAMMA)
+        fact = linop.prepare(jac0, ghinv)
+        ynew, yerr = step_attempt(y, h_eff, fcn0, fact)
         err = err_norm(y, ynew, yerr)
         # guard against NaN steps (singular matrix): treat as rejection
         bad = ~jnp.all(jnp.isfinite(ynew), axis=-1)
@@ -175,11 +200,21 @@ def integrate(fun, jac, y0, tend, opts: RosOptions = RosOptions(),
 
         nstp = nstp + jnp.where(upd, 1, 0)
         done = done | (t >= tend * (1.0 - 1e-12))
-        return (y, t, h, rej1, rej2, nstp, done)
+        # per-cell failure: a cell burning max_steps without reaching
+        # tend freezes at its last accepted state; the rest of the
+        # batch keeps integrating (reference warns per cell and
+        # continues, gas.f:764-767)
+        newly_failed = upd & (nstp >= opts.max_steps) & ~done
+        failed = failed | newly_failed
+        done = done | newly_failed
+        return (y, t, h, rej1, rej2, nstp, done, failed)
 
     carry = (y0, jnp.zeros((B,), dtype), h0,
              jnp.zeros((B,), bool), jnp.zeros((B,), bool),
-             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
-    y, t, h, _, _, nstp, done = jax.lax.while_loop(cond, body, carry)
-    info = {"t": t, "nsteps": nstp, "done": done}
+             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+             jnp.zeros((B,), bool))
+    y, t, h, _, _, nstp, done, failed = jax.lax.while_loop(
+        cond, body, carry)
+    info = {"t": t, "nsteps": nstp, "done": done, "failed": failed,
+            "n_failed": jnp.sum(failed.astype(jnp.int32))}
     return y, info

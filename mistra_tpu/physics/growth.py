@@ -134,7 +134,7 @@ def _walk_rightward(dt, u):
     Pk = _take1(P, ks)
     uk = _take1(u, ks)
     R_in = dt - (Pk - P)                       # remaining on entering kstop
-    seg = jnp.minimum(R_in, 1.0 / jnp.maximum(uk, 1e-300))
+    seg = jnp.minimum(R_in, 1.0 / jnp.maximum(uk, 1e-30))
     x_frac = kstop.astype(dtype) + uk * seg
 
     # barrier cases (kstar >= b, so remaining R > eps at the barrier bin)
@@ -142,7 +142,7 @@ def _walk_rightward(dt, u):
     ub = _take1(u, bs)
     Pb = _take1(P, bs)
     R = dt - (Pb - P)
-    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(ub), 1e-300), R)
+    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(ub), 1e-30), R)
     xb = b.astype(dtype) + ub * dt0
     x_osc = jnp.where(R - dt0 > _WALK_EPS, b.astype(dtype) - 1.0, xb)
     x_barrier = jnp.where(ub == 0.0, b.astype(dtype), x_osc)
@@ -211,12 +211,12 @@ def _walk_rightward_banded(dt, u, J):
 
     # fractional stop inside bin kstop (time exhausted before the barrier)
     R_in = dt - (Pk - P)
-    seg = jnp.minimum(R_in, 1.0 / jnp.maximum(uk, 1e-300))
+    seg = jnp.minimum(R_in, 1.0 / jnp.maximum(uk, 1e-30))
     x_frac = kstop.astype(dtype) + uk * seg
 
     # barrier cases
     R = dt - (Pb - P)
-    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(ub), 1e-300), R)
+    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(ub), 1e-30), R)
     xb = b.astype(dtype) + ub * dt0
     x_osc = jnp.where(R - dt0 > _WALK_EPS, b.astype(dtype) - 1.0, xb)
     x_barrier = jnp.where(ub == 0.0, b.astype(dtype), x_osc)
@@ -260,7 +260,7 @@ def _walk_loop(dt, u):
 
     k = jnp.broadcast_to(i, u.shape)
     zero_u0 = u == 0.0
-    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u), 1e-300), dt)
+    dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u), 1e-30), dt)
     x0 = jnp.where(zero_u0, k.astype(dtype), k + u * dt0)
     dt1 = jnp.where(zero_u0, 0.0, dt - dt0)
     # status: 0 = walking, 1 = deposited early (x0 integer position)
@@ -280,7 +280,7 @@ def _walk_loop(dt, u):
         status = jnp.where(stop_here, 1, status)
         x0 = jnp.where(stop_here, k_new.astype(dtype), x0)
         cont = active & ~osc & ~zero_u
-        dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u_new), 1e-300), dt1)
+        dt0 = jnp.minimum(1.0 / jnp.maximum(jnp.abs(u_new), 1e-30), dt1)
         x0 = jnp.where(cont, k_new + u_new * dt0, x0)
         dt1 = jnp.where(cont, dt1 - dt0, dt1)
         k2 = jnp.where(cont, k1, k2)
@@ -394,7 +394,7 @@ def bott_bin_advection(dt, u, z, band=None):
         zf = zf.at[rows, ihi].add(wh)
         return zf.reshape(bshape + (nkt,))
 
-    if _WALK == "banded":
+    if walk == "banded":
         # banded shift-accumulate: source bin i deposits at i+d for
         # offsets |d| <= D; jnp.roll wraparound is safe because a mask
         # selecting a wrapped lane would require k_low outside [0, nkt).
