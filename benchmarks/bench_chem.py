@@ -102,11 +102,13 @@ def main():
         return jnp.maximum(ynew, 0.0)
 
     y = substep(y0)
-    jax.block_until_ready(y)
+    float(jnp.sum(y))   # full host sync: block_until_ready returns
+    #                     early for pallas custom calls on the tunneled
+    #                     TPU runtime; a scalar readback is authoritative
     t0 = time.perf_counter()
     for _ in range(args.reps):
         y = substep(y)
-    jax.block_until_ready(y)
+    float(jnp.sum(y))
     dt_wall = (time.perf_counter() - t0) / args.reps
 
     dev = jax.devices()[0].platform

@@ -119,6 +119,16 @@ class BoxModel:
         met = met.replace(t=met.t.at[N_BL].set(t_bl),
                           xm1=met.xm1.at[N_BL].set(xm1_bl),
                           feu=met.feu.at[N_BL].set(feu_bl))
+        if cfg.mic:
+            # re-equilibrate the particle spectrum at the box level with
+            # the overridden humidity (box_update/chamb_update both call
+            # equil(1, n_bl) after resetting T/rh, str.f90:6846/7897)
+            from .physics import microphysics
+            met, micro = microphysics.equil(
+                met, state.micro, m.grids.micro, m.consts["a0m"],
+                jnp.asarray(m.consts["b0m"]), 1, cfg.grid.nf,
+                level=N_BL)
+            state = state.replace(micro=micro)
         tim = state.tim.replace(kinv=jnp.asarray(cfg.grid.nf))
         if cfg.chamber:
             tim = tim.replace(lst=12)

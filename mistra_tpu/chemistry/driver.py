@@ -70,6 +70,9 @@ class GasChemState:
     sgas: jnp.ndarray       # [nvar, n] concentrations [mol/m3]
     vg: jnp.ndarray         # [nvar] dry deposition velocity [m/s]
     photol_j: jnp.ndarray   # [nphrxn, n] photolysis rates [1/s]
+    # cumulative count of (cell, substep) stiff-solver non-convergences
+    # (cells frozen at max_steps; reference warns per cell, gas.f:764-767)
+    nonconv: jnp.ndarray = 0
 
 
 def henry_molar(name, t):
@@ -385,4 +388,5 @@ class ChemistryDriver:
         y, info = self.kernel.integrate(y0, k, fix, dt)
         y = jnp.maximum(y, 0.0)
         sgas = sgas.at[:, lev].set(y.T)
-        return chem.replace(sgas=sgas)
+        return chem.replace(sgas=sgas,
+                            nonconv=chem.nonconv + info["n_failed"])

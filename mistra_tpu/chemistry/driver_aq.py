@@ -31,6 +31,9 @@ class MultiphaseChemState:
     vg: jnp.ndarray         # [nvar_tot] dry deposition velocities
     photol_j: jnp.ndarray   # [nphrxn, n]
     cloud: jnp.ndarray      # [nkc, n] deliquescence hysteresis flags
+    # cumulative count of (cell, substep) stiff-solver non-convergences
+    # (cells frozen at max_steps; reference warns per cell, gas.f:764-767)
+    nonconv: jnp.ndarray = 0
 
     @property
     def sgas(self):
@@ -297,10 +300,12 @@ class MultiphaseDriver(ChemistryDriver):
 
         conc = jnp.maximum(chem.conc, 0.0)
         lp = self.liq_parm(state)
-        conc = self._integrate_tot(state, conc, lp, np.arange(1, nf), dt)
+        conc, nfail = self._integrate_tot(state, conc, lp,
+                                          np.arange(1, nf), dt)
         conc = self._integrate_gas_above(state, conc, np.arange(nf, n - 1),
                                          dt)
-        return chem.replace(conc=conc, cloud=lp["cloud"])
+        return chem.replace(conc=conc, cloud=lp["cloud"],
+                            nonconv=chem.nonconv + nfail)
 
     def integrate_box(self, state, dt, n_bl=1):
         """Box/chamber mode: tot mechanism at the single level n_bl
@@ -308,8 +313,10 @@ class MultiphaseDriver(ChemistryDriver):
         chem = state.chem
         conc = jnp.maximum(chem.conc, 0.0)
         lp = self.liq_parm(state)
-        conc = self._integrate_tot(state, conc, lp, np.array([n_bl]), dt)
-        return chem.replace(conc=conc, cloud=lp["cloud"])
+        conc, nfail = self._integrate_tot(state, conc, lp,
+                                          np.array([n_bl]), dt)
+        return chem.replace(conc=conc, cloud=lp["cloud"],
+                            nonconv=chem.nonconv + nfail)
 
     def reaction_rates_at(self, state, levels):
         """Instantaneous per-reaction tot-mechanism rates [mol/(m3 s)] at
@@ -364,7 +371,7 @@ class MultiphaseDriver(ChemistryDriver):
         k, fix = self._tot_env(state, lp, lev, y0)
         y, info = self.tot_kernel.integrate(y0, k, fix, dt)
         y = jnp.maximum(y, 0.0)
-        return conc.at[:, lev].set(y.T)
+        return conc.at[:, lev].set(y.T), info["n_failed"]
 
     def _integrate_gas_above(self, state, conc, lev_g, dt):
         cfg = self.model.cfg

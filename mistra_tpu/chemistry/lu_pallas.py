@@ -1,4 +1,4 @@
-"""Batched no-pivot dense inverse via LU, as a Pallas TPU kernel.
+"""Batched no-pivot dense inverse via LU, as Pallas TPU kernels.
 
 The block-arrow chemistry solver (block_solver.py) factorizes many small
 dense diagonal blocks (one 80-100 species block per aqueous bin / gas
@@ -6,28 +6,29 @@ core per cell).  The reference factorizes the same stage matrix with
 KPP's pivot-free Doolittle elimination (``KppDecomp_t``
 /root/reference/src/tot.f:39468, loop form gas.f:6142-6177); on TPU the
 per-cell matrices are far too small for the MXU individually and XLA's
-batched ``lu`` (partial pivoting, row exchanges) is HBM-bound, so this
-kernel keeps a tile of cells resident in VMEM with the **cell axis in
+batched ``lu`` (partial pivoting, row exchanges) is HBM-bound, so these
+kernels keep a tile of cells resident in VMEM with the **cell axis in
 the vector lanes**: every elimination step is a [m, m, 128]-shaped VPU
 fma over 128 cells at once, and the sequential k-loop runs entirely in
 VMEM.
 
 Rather than returning triangular factors (whose solves would serialize),
-the kernel produces the explicit inverse: the forward elimination
-accumulates inv(L) (the row operations applied to I), then an in-place
-back-substitution solves U X = inv(L) so X = inv(A).  Every downstream
-stage solve then becomes a batched matmul/matvec (MXU), mirroring how
-the reference's unrolled ``KppSolve`` removes all solver control flow.
+the kernels produce the explicit inverse: call 1 runs the forward
+elimination in place, call 2 builds inv(L) by replaying the multipliers
+against I and back-substitutes U X = inv(L), so X = inv(A).  Every
+downstream stage solve then becomes a batched matmul/matvec (MXU),
+mirroring how the reference's unrolled ``KppSolve`` removes all solver
+control flow.
 
-Implementation notes:
-* Layout [T, m, m, LANES] — matrix dims mid, cells minor; every
-  elimination access (row k, column k) indexes the *leading/untiled*
-  dims only: the column is read from a transposed copy of the working
-  matrix that the kernel co-updates, because dynamic sublane/lane
-  indexing is fragile on this backend.
-* Tiles are DMA'd manually (refs live in ANY/HBM): the automatically
-  pipelined form double-buffers every operand and blows the ~16 MB
-  VMEM budget at m ~ 100.
+Backend constraints honored (probed on this TPU runtime):
+* dynamic indexing is used ONLY on the sublane (second-minor) dim —
+  dynamic indexing of the leading/untiled dim of a >2-D ref faults;
+* row-k extraction therefore goes through a masked reduction over the
+  leading dim;
+* two separate pipelined pallas_calls keep the automatically
+  double-buffered working set at 4 x 3.4 MB, inside the ~16 MB/core
+  VMEM budget (a fused single call with scratch would need ~17 MB, and
+  manual HBM DMA faults through this runtime's tunnel).
 """
 
 from __future__ import annotations
@@ -41,118 +42,141 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _ROW_CHUNK = 16
+# the masked-reduce row extraction materializes one extra [m, m, 128]
+# temporary, pushing the per-call working set slightly past the default
+# 16 MB scoped-vmem limit at m ~ 100 (physical VMEM is larger)
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=28 * 1024 * 1024)
 
 
-def _inv_kernel(a_hbm, at_hbm, inv_hbm, lu, lut, x, sem, *, m: int):
-    """One tile of 128 cells: inv(A) via no-pivot LU, all in VMEM."""
-    i = pl.program_id(0)
-    dtype = lu.dtype
+def _lu_kernel(a_ref, lu_ref, *, m: int):
+    """Forward elimination in place: A -> packed LU (L multipliers below
+    the diagonal, U on/above; unit diagonal of L implied).
+
+    Tile layout [1, m(rows, leading), m(cols, sublane), LANES(cells)].
+    """
+    lu_ref[...] = a_ref[...]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    riota3 = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
     nch = -(-m // _ROW_CHUNK)
 
-    cp_a = pltpu.make_async_copy(a_hbm.at[i], lu, sem)
-    cp_a.start()
-    cp_at = pltpu.make_async_copy(at_hbm.at[i], lut, sem)
-    cp_a.wait()
-    cp_at.start()
-
-    # x starts as I and accumulates inv(L) during the forward sweep
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
-           ).astype(dtype)
-    x[...] = jnp.broadcast_to(eye, (m, m, LANES))
-    cp_at.wait()
-
-    riota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-
-    def chunked_rank1(ref, lvec, row, k):
-        """ref[r, :, :] -= lvec[r] * row for rows r > k, chunk-skipped."""
+    def step(k, _):
+        # column k (sublane-dynamic) and row k (masked leading reduce)
+        colk = lu_ref[0, :, pl.ds(k, 1), :][:, 0, :]     # [m, LANES]
+        piv = jnp.sum(jnp.where(riota == k, colk, 0.0), axis=0)
+        urow = jnp.sum(jnp.where(riota3 == k, lu_ref[0], 0.0),
+                       axis=0)                            # [m(c), LANES]
+        lvec = jnp.where(riota > k, colk / piv[None, :], 0.0)
+        # store multipliers into column k
+        lu_ref[0, :, pl.ds(k, 1), :] = jnp.where(
+            riota > k, lvec, colk)[:, None, :]
+        urow_m = jnp.where(riota > k, urow, 0.0)          # cols > k
+        # rank-1 trailing update, chunked over rows so chunks entirely
+        # above the pivot are skipped
         for c in range(nch):
             r0 = c * _ROW_CHUNK
             r1 = min(r0 + _ROW_CHUNK, m)
 
             @pl.when(r1 - 1 > k)
             def _():
-                lch = lvec[r0:r1]                  # [sz, LANES]
-                ref[pl.ds(r0, r1 - r0)] = (
-                    ref[pl.ds(r0, r1 - r0)]
-                    - lch[:, None, :] * row[None, :, :])
-
-    def elim_step(k, _):
-        urow = lu[pl.ds(k, 1)][0]                  # [m, LANES] row k
-        colk = lut[pl.ds(k, 1)][0]                 # [m, LANES] column k
-        mask_k = (riota == k).astype(dtype)
-        pivdiag = jnp.sum(mask_k * colk, axis=0)   # [LANES] A[k,k]
-        rcp = 1.0 / pivdiag
-        below = riota > k                          # [m, 1]
-        lvec = jnp.where(below, colk * rcp[None, :], 0.0)
-        urow_m = jnp.where(below, urow, 0.0)       # zero cols <= k
-        xrow = x[pl.ds(k, 1)][0]                   # [m, LANES]
-
-        # trailing update of LU (rows), its transpose (columns), and
-        # the inv(L) accumulator — all leading-dim indexed
-        chunked_rank1(lu, lvec, urow_m, k)
-        chunked_rank1(lut, urow_m, lvec, k)
-        chunked_rank1(x, lvec, xrow, k)
+                lu_ref[0, r0:r1] = (
+                    lu_ref[0, r0:r1]
+                    - lvec[r0:r1][:, None, :] * urow_m[None, :, :])
         return 0
 
-    jax.lax.fori_loop(0, m, elim_step, 0)
+    jax.lax.fori_loop(0, m, step, 0)
 
-    # ---- back-substitution U X = inv(L), in place and descending: at
-    # step k rows > k of x are final inv(A) rows and the masked row of
-    # U only meets those; rows < k still hold their inv(L) rhs values
-    def back_step(j, _):
+
+def _inv_kernel(lu_ref, xt_ref, *, m: int):
+    """Explicit inverse from the packed LU, stored TRANSPOSED:
+    xt[c, r] = inv(A)[r, c].
+
+    Phase 1 replays the multipliers against I (xt accumulates inv(L)
+    transposed: xt[c, k] = invL[k, c]); phase 2 back-substitutes
+    U X = inv(L) in place, descending.
+    """
+    dtype = lu_ref.dtype
+    riota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    riota3 = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
+           ).astype(dtype)
+    xt_ref[...] = jnp.broadcast_to(eye, (1, m, m, LANES))
+    nch = -(-m // _ROW_CHUNK)
+
+    def fwd(k, _):
+        # multipliers l (rows > k of LU column k); invL row k (= xt
+        # column k) is final at step k
+        lcol = lu_ref[0, :, pl.ds(k, 1), :][:, 0, :]      # [m, LANES]
+        lvec = jnp.where(riota > k, lcol, 0.0)
+        xcol = xt_ref[0, :, pl.ds(k, 1), :][:, 0, :]      # [m(c), LANES]
+        # xt[c, r] -= invL[k, c] * l[r]; invL row k is nonzero only for
+        # c <= k, so chunks beyond the pivot column are skipped
+        for c in range(nch):
+            r0 = c * _ROW_CHUNK
+            r1 = min(r0 + _ROW_CHUNK, m)
+
+            @pl.when(r0 <= k)
+            def _():
+                xt_ref[0, r0:r1] = (
+                    xt_ref[0, r0:r1]
+                    - xcol[r0:r1][:, None, :] * lvec[None, :, :])
+        return 0
+
+    jax.lax.fori_loop(0, m, fwd, 0)
+
+    def back(j, _):
         k = m - 1 - j
-        urow = lu[pl.ds(k, 1)][0]                  # [m, LANES]
-        mask_k = (riota == k).astype(dtype)
-        ukk = jnp.sum(mask_k * urow, axis=0)
-        rcp = 1.0 / ukk
+        urow = jnp.sum(jnp.where(riota3 == k, lu_ref[0], 0.0),
+                       axis=0)                            # [m(j), LANES]
+        ukk = jnp.sum(jnp.where(riota == k, urow, 0.0), axis=0)
         urow_m = jnp.where(riota > k, urow, 0.0)
-        acc = jnp.sum(urow_m[:, None, :] * x[...], axis=0)
-        rhs = x[pl.ds(k, 1)][0]                    # [m, LANES]
-        x[pl.ds(k, 1)] = ((rhs - acc) * rcp[None, :])[None]
+        # acc[c] = sum_{j>k} U[k, j] * X[j, c] with X[j, .] = xt[., j];
+        # columns j > k of xt hold final inverse rows, j <= k still hold
+        # the inv(L) right-hand side and are masked out
+        acc = jnp.sum(urow_m[None, :, :] * xt_ref[0], axis=1)
+        rhs = xt_ref[0, :, pl.ds(k, 1), :][:, 0, :]       # invL[k, c]
+        xt_ref[0, :, pl.ds(k, 1), :] = (
+            (rhs - acc) / ukk[None, :])[:, None, :]
         return 0
 
-    jax.lax.fori_loop(0, m, back_step, 0)
-
-    cp_out = pltpu.make_async_copy(x, inv_hbm.at[i], sem)
-    cp_out.start()
-    cp_out.wait()
+    jax.lax.fori_loop(0, m, back, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def inv_lanes(a_tiles: jax.Array, at_tiles: jax.Array,
-              interpret: bool = False):
+def inv_lanes(a_tiles: jax.Array, interpret: bool = False):
     """inv(A) for a batch of dense matrices, tiled cells-minor.
 
     Args:
-      a_tiles: [T, m, m, LANES] f32 (T tiles of 128 cells).
-      at_tiles: same data with the matrix dims transposed.
+      a_tiles: [T, m, m, LANES] f32 (T tiles of 128 cells), layout
+        [tile, row, col, cell].
     Returns:
-      [T, m, m, LANES]: explicit inverses from the no-pivot LU.
+      [T, m, m, LANES] with layout [tile, col, row, cell] — the
+      TRANSPOSED inverse (callers undo this in their batch-major
+      transpose).
     """
     t, m, m2, lanes = a_tiles.shape
     assert m == m2 and lanes == LANES, a_tiles.shape
-    return pl.pallas_call(
+    spec = pl.BlockSpec((1, m, m, LANES), lambda i: (i, 0, 0, 0))
+    shape = jax.ShapeDtypeStruct(a_tiles.shape, a_tiles.dtype)
+    lu = pl.pallas_call(
+        functools.partial(_lu_kernel, m=m),
+        grid=(t,), in_specs=[spec], out_specs=spec, out_shape=shape,
+        compiler_params=_COMPILER_PARAMS, interpret=interpret,
+    )(a_tiles)
+    xt = pl.pallas_call(
         functools.partial(_inv_kernel, m=m),
-        grid=(t,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        out_shape=jax.ShapeDtypeStruct(a_tiles.shape, a_tiles.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((m, m, LANES), a_tiles.dtype),
-            pltpu.VMEM((m, m, LANES), a_tiles.dtype),
-            pltpu.VMEM((m, m, LANES), a_tiles.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(a_tiles, at_tiles)
+        grid=(t,), in_specs=[spec], out_specs=spec, out_shape=shape,
+        compiler_params=_COMPILER_PARAMS, interpret=interpret,
+    )(lu)
+    return xt
 
 
 def batched_inv_nopivot(a_bm: jax.Array, use_pallas: bool | None = None,
                         interpret: bool = False) -> jax.Array:
     """Batch-major wrapper: [N, m, m] -> inv(A) [N, m, m].
 
-    On TPU (f32) the Pallas kernel runs cells-minor with layout
+    On TPU (f32) the Pallas kernels run cells-minor with layout
     transposes on either side; elsewhere (or for f64 parity tests)
     jnp.linalg.inv (pivoted, numerically at least as good) provides the
     fallback.
@@ -171,7 +195,7 @@ def batched_inv_nopivot(a_bm: jax.Array, use_pallas: bool | None = None,
     nt = a_bm.shape[0] // LANES
     a4 = a_bm.reshape(nt, LANES, m, m)
     a_tiles = jnp.transpose(a4, (0, 2, 3, 1))
-    at_tiles = jnp.transpose(a4, (0, 3, 2, 1))
-    inv = inv_lanes(a_tiles, at_tiles, interpret=interpret)
-    inv_bm = jnp.transpose(inv, (0, 3, 1, 2)).reshape(nt * LANES, m, m)
+    xt = inv_lanes(a_tiles, interpret=interpret)
+    # xt layout [tile, col, row, cell] -> batch-major [N, row, col]
+    inv_bm = jnp.transpose(xt, (0, 3, 2, 1)).reshape(nt * LANES, m, m)
     return inv_bm[:n]

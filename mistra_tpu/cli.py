@@ -145,6 +145,12 @@ def main(argv=None):
         line = (f"{lday:2d}:{lst:2d}:{lmin:2d} "
                 f"tke={tke[:100].max():8.3f} atkh={atkh[:100].max():8.3f} "
                 f"lwc={1000 * (xm2[:100] / rho[:100]).max():8.3f}")
+        nonconv = int(getattr(state.chem, "nonconv", 0) or 0) \
+            if state.chem is not None else 0
+        if nonconv:
+            # per-cell stiff-solver failures (reference warning path,
+            # gas.f:764-767): frozen cells, cumulative count
+            line += f" chem_nonconv={nonconv}"
         tima.write(line + "\n")
         tima.flush()
         if cfg.binout and model._chemistry is not None \
