@@ -254,12 +254,13 @@ class BoxModel:
         state = state.replace(tim=state.tim.replace(lmin=lmin, lst=lst,
                                                     lday=lday))
 
-        for _ in range(6):
+        def substep(state, _):
             dd = 10.0
             if cfg.box and cfg.iaertyp == 3 and cfg.mic \
                     and hasattr(m._chemistry, "sa1_table"):
                 from .chemistry.sources import aer_source
-                state = aer_source(m, state, dd, k_in=N_BL, d_z=self.z_box)
+                state = aer_source(m, state, dd, k_in=N_BL,
+                                   d_z=self.z_box)
             state = self._sedc_box(state, dd)
             state = self._box_partdep(state, dd)
             if hasattr(m._chemistry, "integrate_box"):
@@ -269,6 +270,11 @@ class BoxModel:
             state = state.replace(chem=chem)
             state = state.replace(tim=state.tim.replace(
                 time=state.tim.time + dd))
+            return state, None
+
+        # scan (not a Python loop): six copies of the stiff-solver body
+        # in one flat graph overflow the XLA CPU compiler's stack
+        state, _ = jax.lax.scan(substep, state, None, length=6)
 
         u0 = solar_zenith(state.tim.lst, state.tim.lmin,
                           m.astro.alat, m.astro.declin)

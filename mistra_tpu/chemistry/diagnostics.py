@@ -159,3 +159,21 @@ def total_aqueous_mass(conc, species, species_bin, molar_mass):
                           for i in idx], conc.dtype)  # binned names only
         out.append(jnp.einsum("sn,s->n", conc[jnp.asarray(idx)], mm))
     return jnp.stack(out) if out else jnp.zeros((0, conc.shape[1]))
+
+
+def sulfur_reaction_channels(mech):
+    """Budget channels of the S/DMS family: every reaction that moves a
+    sulfur atom (the reference's fixed 122-channel layout bud_s_{g,a,t}.f
+    generalized to mechanism-as-data: each S-touching reaction is one
+    channel, at all levels).
+
+    Returns (idx [nch] reaction indices, labels [nch]).
+    """
+    sb = getattr(mech, "species_bin", None)
+    s_cnt = element_counts(mech.species, "S", sb)
+    has_s = np.zeros(mech.nrxn, bool)
+    st = np.asarray(mech.stoich)
+    has_s |= (np.abs(st) @ (s_cnt > 0)) > 0
+    idx = np.nonzero(has_s)[0]
+    labels = [mech.reactions[i].label for i in idx]
+    return idx, labels

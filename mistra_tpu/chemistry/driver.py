@@ -180,7 +180,8 @@ class ChemistryDriver:
         return GasChemState(
             sgas=jnp.asarray(sgas, self.dtype),
             vg=jnp.zeros((self.mech.nvar,), self.dtype),
-            photol_j=jnp.zeros((NPHRXN, n), self.dtype))
+            photol_j=jnp.zeros((NPHRXN, n), self.dtype),
+            nonconv=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
     def gasdrydep(self, state) -> jnp.ndarray:

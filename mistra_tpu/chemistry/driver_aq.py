@@ -82,7 +82,8 @@ class MultiphaseDriver(ChemistryDriver):
         vg = vg.at[jnp.asarray(self.gas_in_tot)].set(gas.vg)
         cloud = jnp.ones((4, n), bool)
         return MultiphaseChemState(conc=conc, vg=vg,
-                                   photol_j=gas.photol_j, cloud=cloud)
+                                   photol_j=gas.photol_j, cloud=cloud,
+                                   nonconv=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
     def gasdrydep(self, state):
@@ -587,7 +588,10 @@ class KoncMixin:
             new_vals = psi[:, 1:nf - 1] / detw[None, 1:nf - 1]
             conc = conc.at[jnp.asarray(idx)[:, None],
                            jnp.arange(1, nf - 1)[None, :]].set(new_vals)
-            conc = conc.at[jnp.asarray(idx), 0].add(ground * deta[1])
+            # level 0 is the surface reservoir in column-integral units
+            # [mol/m2] (same convention as sedc/sedc_box); ``ground``
+            # accumulates psi = conc*detw, already mol/m2
+            conc = conc.at[jnp.asarray(idx), 0].add(ground)
         return chem.replace(conc=conc)
 
 

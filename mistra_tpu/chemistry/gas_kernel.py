@@ -56,15 +56,20 @@ class GasKernel:
         # one-hot over the extended concentration vector (vars + 1 + fix)
         # so reactant gathers become MXU matmuls for large mechanisms
         self.onehot_cx = jnp.asarray(np.stack(ohx), dtype)  # [3, nrxn, nex]
+        sb = getattr(mech, "species_bin", None)
+        binned = sb is not None and bool(np.any(np.asarray(sb) > 0))
         if solver is None:
             if use_sparse is True:
                 solver = "sparse"
             elif use_sparse is False:
                 solver = "dense"
+            elif binned:
+                # any binned (aer/tot) mechanism: block-arrow dense
+                # solver — the unrolled sparse schedule would be 80k+
+                # traced ops even at aer size
+                solver = "block"
             elif mech.nvar <= self.SPARSE_NVAR_MAX:
                 solver = "sparse"
-            elif getattr(mech, "species_bin", None) is not None:
-                solver = "block"
             else:
                 solver = "dense"
         self.solver = solver

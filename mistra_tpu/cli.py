@@ -121,6 +121,15 @@ def main(argv=None):
         rates_fn = jax.jit(
             lambda s: model._chemistry.reaction_rates_at(s, lev_bud))
         bud_cum = None
+        # S/DMS species budgets at all levels (bud_s_{g,a,t}.f):
+        # restrict the full-level rate evaluation to the S channels
+        import jax.numpy as jnp
+        s_ch = jnp.asarray(writer.s_channels)
+        lev_all = np.arange(1, cfg.grid.n - 1)
+        s_rates_fn = jax.jit(lambda s: model._chemistry.reaction_rates_at(
+            s, lev_all)[:, s_ch])
+        sbud_cum = None
+        s_inst_full = None
     tima = open(os.path.join(args.outdir, "tima.out"), "w")
     t_start = wallclock.time()
 
@@ -159,11 +168,16 @@ def main(argv=None):
             inst = np.asarray(rates_fn(state)).T        # [nrxn, nlev]
             bud_cum = inst * 60.0 if bud_cum is None else bud_cum \
                 + inst * 60.0
+            s_lev = np.asarray(s_rates_fn(state)).T     # [nch_s, n-2]
+            s_inst_full = np.zeros((s_lev.shape[0], cfg.grid.n))
+            s_inst_full[:, 1:cfg.grid.n - 1] = s_lev
+            sbud_cum = s_inst_full * 60.0 if sbud_cum is None \
+                else sbud_cum + s_inst_full * 60.0
         if it % 15 == 0:
             writer.snapshot(state, particles=cfg.mic and it % 30 == 0)
             if cfg.binout and hasattr(writer, "write_budgets") \
                     and writer.rxn is not None and bud_cum is not None:
-                writer.write_budgets(inst, bud_cum)
+                writer.write_budgets(inst, bud_cum, s_inst_full, sbud_cum)
         if lmin == 0:   # hourly ASCII profiles (str.f90:504-508)
             from .io import profiles as prof
             with open(os.path.join(args.outdir, "profm.out"), "a") as fh:

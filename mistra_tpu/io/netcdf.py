@@ -316,17 +316,38 @@ class NetCDFOutputWriter:
                       "instantaneous reaction rates")
             r.def_var("cum", ("time", "nrxn", "nlev"), "mol/m3",
                       "time-integrated reaction turnover")
+            # S/DMS species budgets at ALL levels (bud_s_{g,a,t}.f:
+            # /budgs/ bgs(2,122,n)) — channels = every S-moving reaction
+            from ..chemistry.diagnostics import sulfur_reaction_channels
+            self.s_channels, s_labels = sulfur_reaction_channels(mech)
+            r.def_dim("nch_s", len(self.s_channels))
+            r.def_dim("n", cfg.grid.n)
+            r.def_var("s_channel_rxn", ("nch_s",), "1",
+                      "reaction index of each sulfur budget channel")
+            r.def_var("s_rate", ("time", "nch_s", "n"), "mol/(m3 s)",
+                      "instantaneous S-family reaction rates")
+            r.def_var("s_cum", ("time", "nch_s", "n"), "mol/m3",
+                      "time-integrated S-family reaction turnover")
             r.enddef()
             r.put("level_index", self.bud_levels.astype(float),
                   async_=False)
+            r.put("s_channel_rxn", self.s_channels.astype(float),
+                  async_=False)
+            with open(os.path.join(outdir, "s_channels.txt"), "w") as fh:
+                for i, lab in zip(self.s_channels, s_labels):
+                    fh.write(f"{i} {lab}\n")
             self.rxn = r
 
-    def write_budgets(self, inst, cum):
-        """Append one budget record (arrays [nrxn, nlev])."""
+    def write_budgets(self, inst, cum, s_inst=None, s_cum=None):
+        """Append one budget record (arrays [nrxn, nlev]; S-family
+        arrays [nch_s, n])."""
         if self.rxn is None:
             return
         self.rxn.put("rate", inst, record=self._irec_rxn)
         self.rxn.put("cum", cum, record=self._irec_rxn)
+        if s_inst is not None:
+            self.rxn.put("s_rate", s_inst, record=self._irec_rxn)
+            self.rxn.put("s_cum", s_cum, record=self._irec_rxn)
         self._irec_rxn += 1
 
     # ------------------------------------------------------------------

@@ -76,3 +76,24 @@ def test_species_production_loss():
     assert float(prod_b) == 3.0 and float(loss_b) == 1.0
     ch = species_budget_channels(rates, stoich, 1)
     assert ch[0] == (0, 3.0) and ch[1] == (1, -1.0)
+
+
+def test_sulfur_budget_channels():
+    """S/DMS budget channels (bud_s_{g,a,t}.f generalized): every
+    S-moving reaction is a channel; the gas mechanism's DMS oxidation
+    chain must be covered."""
+    from mistra_tpu.chemistry.diagnostics import sulfur_reaction_channels
+    from mistra_tpu.chemistry.mech import load_gas_mechanism
+    m = load_gas_mechanism("/root/reference/src/mech")
+    idx, labels = sulfur_reaction_channels(m)
+    assert len(idx) >= 40          # reference gas file records 13 of 122
+    # the named reference channels (bud_s_g.f:71-84) are all S-labelled
+    for lab in ("S1", "S2", "S3"):  # SO2+OH, DMS+OH chains
+        assert lab in labels
+    # no channel without any sulfur species
+    import numpy as np
+    from mistra_tpu.chemistry.diagnostics import element_counts
+    s_cnt = element_counts(m.species, "S")
+    st = np.asarray(m.stoich)
+    for i in idx:
+        assert (np.abs(st[i]) @ (s_cnt > 0)) > 0
