@@ -21,14 +21,13 @@ mirroring how the reference's unrolled ``KppSolve`` removes all solver
 control flow.
 
 Backend constraints honored (probed on this TPU runtime):
-* dynamic indexing is used ONLY on the sublane (second-minor) dim —
-  dynamic indexing of the leading/untiled dim of a >2-D ref faults;
-* row-k extraction therefore goes through a masked reduction over the
-  leading dim;
+* dynamic indexing only on the sublane (second-minor) dim; row-k
+  accesses on the leading dim go through chunked masked reductions with
+  ``pl.when`` guards so only the chunk holding row k is read;
 * two separate pipelined pallas_calls keep the automatically
-  double-buffered working set at 4 x 3.4 MB, inside the ~16 MB/core
-  VMEM budget (a fused single call with scratch would need ~17 MB, and
-  manual HBM DMA faults through this runtime's tunnel).
+  double-buffered working set inside the VMEM budget (a fused single
+  call would need ~17 MB, and manual HBM DMA faults through this
+  runtime's tunnel).
 """
 
 from __future__ import annotations
@@ -41,15 +40,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_ROW_CHUNK = 16
-# the masked-reduce row extraction materializes one extra [m, m, 128]
-# temporary, pushing the per-call working set slightly past the default
-# 16 MB scoped-vmem limit at m ~ 100 (physical VMEM is larger)
+_ROW_CHUNK = 32
+# working set slightly exceeds the default 16 MB scoped-vmem limit at
+# m ~ 100 (physical VMEM is larger)
 _COMPILER_PARAMS = pltpu.CompilerParams(
     vmem_limit_bytes=28 * 1024 * 1024)
 
 
-def _lu_kernel(a_ref, lu_ref, *, m: int):
+def _chunks(m):
+    return [(c, min(c + _ROW_CHUNK, m))
+            for c in range(0, m, _ROW_CHUNK)]
+
+
+def _extract_row(ref, row_ref, k, m):
+    """row_ref[...] <- ref[0, k, :, :], reading only the row chunk that
+    contains k (leading-dim dynamic indexing is unavailable)."""
+    for r0, r1 in _chunks(m):
+        rio = jax.lax.broadcasted_iota(jnp.int32, (r1 - r0, 1, 1), 0) + r0
+
+        @pl.when((r0 <= k) & (k < r1))
+        def _():
+            row_ref[...] = jnp.sum(
+                jnp.where(rio == k, ref[0, r0:r1], 0.0), axis=0)
+
+
+def _lu_kernel(a_ref, lu_ref, row_ref, *, m: int):
     """Forward elimination in place: A -> packed LU (L multipliers below
     the diagonal, U on/above; unit diagonal of L implied).
 
@@ -57,15 +72,13 @@ def _lu_kernel(a_ref, lu_ref, *, m: int):
     """
     lu_ref[...] = a_ref[...]
     riota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    riota3 = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
-    nch = -(-m // _ROW_CHUNK)
 
     def step(k, _):
-        # column k (sublane-dynamic) and row k (masked leading reduce)
+        # column k (sublane-dynamic) and row k (chunked masked reduce)
         colk = lu_ref[0, :, pl.ds(k, 1), :][:, 0, :]     # [m, LANES]
         piv = jnp.sum(jnp.where(riota == k, colk, 0.0), axis=0)
-        urow = jnp.sum(jnp.where(riota3 == k, lu_ref[0], 0.0),
-                       axis=0)                            # [m(c), LANES]
+        _extract_row(lu_ref, row_ref, k, m)
+        urow = row_ref[...]                               # [m(c), LANES]
         lvec = jnp.where(riota > k, colk / piv[None, :], 0.0)
         # store multipliers into column k
         lu_ref[0, :, pl.ds(k, 1), :] = jnp.where(
@@ -73,10 +86,7 @@ def _lu_kernel(a_ref, lu_ref, *, m: int):
         urow_m = jnp.where(riota > k, urow, 0.0)          # cols > k
         # rank-1 trailing update, chunked over rows so chunks entirely
         # above the pivot are skipped
-        for c in range(nch):
-            r0 = c * _ROW_CHUNK
-            r1 = min(r0 + _ROW_CHUNK, m)
-
+        for r0, r1 in _chunks(m):
             @pl.when(r1 - 1 > k)
             def _():
                 lu_ref[0, r0:r1] = (
@@ -87,7 +97,7 @@ def _lu_kernel(a_ref, lu_ref, *, m: int):
     jax.lax.fori_loop(0, m, step, 0)
 
 
-def _inv_kernel(lu_ref, xt_ref, *, m: int):
+def _inv_kernel(lu_ref, xt_ref, row_ref, acc_ref, *, m: int):
     """Explicit inverse from the packed LU, stored TRANSPOSED:
     xt[c, r] = inv(A)[r, c].
 
@@ -97,12 +107,10 @@ def _inv_kernel(lu_ref, xt_ref, *, m: int):
     """
     dtype = lu_ref.dtype
     riota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    riota3 = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
            ).astype(dtype)
     xt_ref[...] = jnp.broadcast_to(eye, (1, m, m, LANES))
-    nch = -(-m // _ROW_CHUNK)
 
     def fwd(k, _):
         # multipliers l (rows > k of LU column k); invL row k (= xt
@@ -112,10 +120,7 @@ def _inv_kernel(lu_ref, xt_ref, *, m: int):
         xcol = xt_ref[0, :, pl.ds(k, 1), :][:, 0, :]      # [m(c), LANES]
         # xt[c, r] -= invL[k, c] * l[r]; invL row k is nonzero only for
         # c <= k, so chunks beyond the pivot column are skipped
-        for c in range(nch):
-            r0 = c * _ROW_CHUNK
-            r1 = min(r0 + _ROW_CHUNK, m)
-
+        for r0, r1 in _chunks(m):
             @pl.when(r0 <= k)
             def _():
                 xt_ref[0, r0:r1] = (
@@ -127,17 +132,24 @@ def _inv_kernel(lu_ref, xt_ref, *, m: int):
 
     def back(j, _):
         k = m - 1 - j
-        urow = jnp.sum(jnp.where(riota3 == k, lu_ref[0], 0.0),
-                       axis=0)                            # [m(j), LANES]
+        _extract_row(lu_ref, row_ref, k, m)
+        urow = row_ref[...]                               # [m(j), LANES]
         ukk = jnp.sum(jnp.where(riota == k, urow, 0.0), axis=0)
         urow_m = jnp.where(riota > k, urow, 0.0)
         # acc[c] = sum_{j>k} U[k, j] * X[j, c] with X[j, .] = xt[., j];
         # columns j > k of xt hold final inverse rows, j <= k still hold
-        # the inv(L) right-hand side and are masked out
-        acc = jnp.sum(urow_m[None, :, :] * xt_ref[0], axis=1)
+        # the inv(L) right-hand side; sublane chunks entirely at or
+        # below the pivot column are skipped
+        acc_ref[...] = jnp.zeros((m, LANES), dtype)
+        for j0, j1 in _chunks(m):
+            @pl.when(j1 - 1 > k)
+            def _():
+                acc_ref[...] = acc_ref[...] + jnp.sum(
+                    urow_m[j0:j1][None, :, :] * xt_ref[0][:, j0:j1, :],
+                    axis=1)
         rhs = xt_ref[0, :, pl.ds(k, 1), :][:, 0, :]       # invL[k, c]
         xt_ref[0, :, pl.ds(k, 1), :] = (
-            (rhs - acc) / ukk[None, :])[:, None, :]
+            (rhs - acc_ref[...]) / ukk[None, :])[:, None, :]
         return 0
 
     jax.lax.fori_loop(0, m, back, 0)
@@ -159,14 +171,17 @@ def inv_lanes(a_tiles: jax.Array, interpret: bool = False):
     assert m == m2 and lanes == LANES, a_tiles.shape
     spec = pl.BlockSpec((1, m, m, LANES), lambda i: (i, 0, 0, 0))
     shape = jax.ShapeDtypeStruct(a_tiles.shape, a_tiles.dtype)
+    row_scratch = pltpu.VMEM((m, LANES), a_tiles.dtype)
     lu = pl.pallas_call(
         functools.partial(_lu_kernel, m=m),
         grid=(t,), in_specs=[spec], out_specs=spec, out_shape=shape,
+        scratch_shapes=[row_scratch],
         compiler_params=_COMPILER_PARAMS, interpret=interpret,
     )(a_tiles)
     xt = pl.pallas_call(
         functools.partial(_inv_kernel, m=m),
         grid=(t,), in_specs=[spec], out_specs=spec, out_shape=shape,
+        scratch_shapes=[row_scratch, row_scratch],
         compiler_params=_COMPILER_PARAMS, interpret=interpret,
     )(lu)
     return xt
