@@ -227,6 +227,27 @@ def main():
                 chem["btz96_column_steps_per_s"] = physics["value"]
                 chem["btz96_vs_baseline"] = physics["vs_baseline"]
                 chem["vs_baseline"] = physics["vs_baseline"]
+                # serial native (C++ -O3, one core) LU baseline — the
+                # reference's execution model on this host anchors
+                # vs_baseline for the chemistry metric
+                try:
+                    nat = subprocess.run(
+                        [sys.executable, os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bench_chem_native.py"),
+                         "--mech", "tot", "--cells", "200"],
+                        capture_output=True, text=True, timeout=240)
+                    natr = json.loads(
+                        nat.stdout.strip().splitlines()[-1])
+                    chem["native_serial_cell_steps_per_s"] = \
+                        natr["value"]
+                    if chem.get("cell_ros_steps_per_s"):
+                        chem["vs_baseline"] = round(
+                            chem["cell_ros_steps_per_s"]
+                            / natr["value"], 2)
+                except Exception as nexc:
+                    print(f"bench: native baseline failed ({nexc!r})",
+                          file=sys.stderr)
                 print(json.dumps(chem))
             except Exception as exc:
                 print(f"bench: chemistry stage failed ({exc!r}); the "

@@ -99,18 +99,19 @@ def main():
     @jax.jit
     def substep(y):
         ynew, info = kernel.integrate(y, k, fix, args.dt)
-        return jnp.maximum(ynew, 0.0)
+        return jnp.maximum(ynew, 0.0), info["nsteps"], info["n_failed"]
 
-    y = substep(y0)
+    y, nsteps, nfail = substep(y0)
     float(jnp.sum(y))   # full host sync: block_until_ready returns
     #                     early for pallas custom calls on the tunneled
     #                     TPU runtime; a scalar readback is authoritative
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        y = substep(y)
+        y, nsteps, nfail = substep(y)
     float(jnp.sum(y))
     dt_wall = (time.perf_counter() - t0) / args.reps
 
+    steps_mean = float(jnp.mean(nsteps))
     dev = jax.devices()[0].platform
     print(json.dumps({
         "metric": f"chem_{args.mech}_cell_steps_per_s",
@@ -119,6 +120,12 @@ def main():
         "cells": B, "nvar": mech.nvar, "nrxn": mech.nrxn,
         "dtype": args.dtype, "platform": dev,
         "wall_per_substep_s": round(dt_wall, 4),
+        # one substep = several adaptive Ros3 steps; the per-Ros-step
+        # rate is the unit the serial native baseline reports
+        "ros_steps_per_substep_mean": round(steps_mean, 1),
+        "ros_steps_per_substep_max": int(jnp.max(nsteps)),
+        "cell_ros_steps_per_s": round(B * steps_mean / dt_wall, 1),
+        "n_nonconverged": int(nfail),
     }))
 
 
