@@ -130,6 +130,7 @@ def main(argv=None):
             s, lev_all)[:, s_ch])
         sbud_cum = None
         s_inst_full = None
+    xn_apacc = None   # cumulative apparent-nucleation count (nucout2)
     tima = open(os.path.join(args.outdir, "tima.out"), "w")
     t_start = wallclock.time()
 
@@ -178,6 +179,15 @@ def main(argv=None):
             if cfg.binout and hasattr(writer, "write_budgets") \
                     and writer.rxn is not None and bud_cum is not None:
                 writer.write_budgets(inst, bud_cum, s_inst_full, sbud_cum)
+            if getattr(writer, "nuc", None) is not None \
+                    and model._nucleation is not None:
+                # nucleation diagnostics snapshot (nucout1/2)
+                _, nuc_diag = model._nucleation(state, 60.0)
+                xn_apacc = xn_apacc + np.asarray(
+                    nuc_diag["xn_app"]) * 900.0 \
+                    if xn_apacc is not None else \
+                    np.asarray(nuc_diag["xn_app"]) * 900.0
+                writer.write_nucleation(nuc_diag, xn_apacc)
         if lmin == 0:   # hourly ASCII profiles (str.f90:504-508)
             from .io import profiles as prof
             with open(os.path.join(args.outdir, "profm.out"), "a") as fh:

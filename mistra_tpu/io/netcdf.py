@@ -297,6 +297,24 @@ class NetCDFOutputWriter:
             j.enddef()
             self.jrat = j
 
+        # nucleation diagnostics (reference nuc group; nucout1/2,
+        # nuc.f90:1492-1687) — opt-in with the nuc switch
+        self.nuc = None
+        if getattr(cfg, "nuc", False):
+            u = NcFile(os.path.join(outdir, "nuc.nc"))
+            u.def_dim("time", None)
+            u.def_dim("n", cfg.grid.n)
+            for nm, unit in (("xn_app", "1/(cm3 s)"),
+                             ("xn_apacc", "1/cm3"),
+                             ("grorate", "nm/h"),
+                             ("dnucv", "mol/m3"),
+                             ("concnuc", "1/cm3"),
+                             ("j_real", "1/(cm3 s)")):
+                u.def_var(nm, ("time", "n"), unit)
+            u.enddef()
+            self.nuc = u
+            self._irec_nuc = 0
+
         # per-reaction budgets (C33; reference rxn group, bud_*.f) —
         # opt-in like the reference's binout switch
         self.rxn = None
@@ -337,6 +355,18 @@ class NetCDFOutputWriter:
                 for i, lab in zip(self.s_channels, s_labels):
                     fh.write(f"{i} {lab}\n")
             self.rxn = r
+
+    def write_nucleation(self, diag, xn_apacc):
+        """Append one nucleation-diagnostics record (nucout1/2)."""
+        if self.nuc is None:
+            return
+        import numpy as _np
+        for nm in ("xn_app", "grorate", "dnucv", "concnuc", "j_real"):
+            self.nuc.put(nm, _np.asarray(diag[nm], _np.float64),
+                         record=self._irec_nuc)
+        self.nuc.put("xn_apacc", _np.asarray(xn_apacc, _np.float64),
+                     record=self._irec_nuc)
+        self._irec_nuc += 1
 
     def write_budgets(self, inst, cum, s_inst=None, s_cum=None):
         """Append one budget record (arrays [nrxn, nlev]; S-family
@@ -383,6 +413,6 @@ class NetCDFOutputWriter:
 
     def close(self):
         for f in (self.met, self.mic, self.part, self.chem, self.jrat,
-                  self.rxn):
+                  self.rxn, self.nuc):
             if f is not None:
                 f.close()

@@ -142,6 +142,35 @@ class NucleationDriver:
         self.dtype = drv.dtype
 
     def __call__(self, state, dt):
+        """Apparent-nucleation step.  With both mechanisms enabled the
+        reference runs the apparent-nucleation machinery once per real
+        mechanism and combines (appnucl2, nuc.f90:335-426): rates add,
+        growth rates average, cluster concentrations follow the
+        larger-rate mechanism."""
+        if self.napari and self.lovejoy:
+            state, d1 = self._appnucl(state, dt, napari=True,
+                                      lovejoy=False)
+            state, d2 = self._appnucl(state, dt, napari=False,
+                                      lovejoy=True)
+            xn = d1["xn_app"] + d2["xn_app"]
+            num = jnp.where(d2["concnuc"] >= d1["concnuc"],
+                            jnp.where(xn - d1["xn_app"] > 0.01,
+                                      d2["concnuc"] * xn
+                                      / jnp.maximum(xn - d1["xn_app"],
+                                                    1e-30),
+                                      d2["concnuc"]),
+                            d1["concnuc"] * xn
+                            / jnp.maximum(d1["xn_app"], 1e-30))
+            diag = {"xn_app": xn,
+                    "grorate": 0.5 * (d1["grorate"] + d2["grorate"]),
+                    "dnucv": d1["dnucv"] + d2["dnucv"],
+                    "concnuc": num,
+                    "j_real": d1["j_real"] + d2["j_real"]}
+            return state, diag
+        return self._appnucl(state, dt, napari=self.napari,
+                             lovejoy=self.lovejoy)
+
+    def _appnucl(self, state, dt, napari, lovejoy):
         m = self.model
         cfg = m.cfg
         mg = m.grids.micro
@@ -161,12 +190,12 @@ class NucleationDriver:
                for nm, idx, _ in self.vapors}
 
         # "real" nucleation rate + initial cluster size
-        if self.napari and "H2SO4" in get:
+        if napari and "H2SO4" in get:
             nh3_ppt = get.get("NH3", jnp.zeros_like(temp)) / am3 * 1e12
             h2so4_cm3 = get["H2SO4"] * CONV1
             jn, nhp, nnp, dc = ternucl(rh, nh3_ppt, h2so4_cm3, temp)
             j_real, d_nucini = jn, dc
-        elif self.lovejoy and "OIO" in get:
+        elif lovejoy and "OIO" in get:
             oio_ppt = get["OIO"] / am3 * 1e12
             j_real, d_nucini = oionucl(oio_ppt, temp)
         else:
@@ -191,17 +220,17 @@ class NucleationDriver:
         gr = jnp.zeros_like(temp)
         m_wsum = jnp.zeros_like(temp)
         for nm, idx, mass in self.vapors:
-            if self.napari and nm == "OIO":
+            if napari and nm == "OIO":
                 continue
-            if not self.napari and nm in ("H2SO4", "NH3"):
+            if not napari and nm in ("H2SO4", "NH3"):
                 continue
             vmean = jnp.sqrt(temp / mass) * 4.60138
             c_cm3 = get[nm] * CONV1
             gr = gr + vmean * mass * c_cm3
             m_wsum = m_wsum + mass * jnp.ones_like(temp)
         nvap_eff = max(1, sum(1 for nm, _, _ in self.vapors
-                              if (self.napari and nm != "OIO")
-                              or (not self.napari
+                              if (napari and nm != "OIO")
+                              or (not napari
                                   and nm not in ("H2SO4", "NH3"))))
         m_vapmean = m_wsum / nvap_eff
         knnuc = 2.0e9 * lam / d_nucini
@@ -248,8 +277,8 @@ class NucleationDriver:
                            * RHO3 / jnp.maximum(m_vapmean, 1e-3) * 1e-21,
                            0.0)
         nvap_c = [nm for nm, _, _ in self.vapors
-                  if (self.napari and nm != "OIO")
-                  or (not self.napari and nm not in ("H2SO4", "NH3"))]
+                  if (napari and nm != "OIO")
+                  or (not napari and nm not in ("H2SO4", "NH3"))]
         for nm in nvap_c:
             idx = self.n2i[nm]
             old = conc[idx]
@@ -262,7 +291,7 @@ class NucleationDriver:
                 conc = conc.at[self.n2i[sink]].add(old - new)
 
         # Napari consumes cluster H2SO4/NH3 as well (ternucl)
-        if self.napari and "H2SO4" in get:
+        if napari and "H2SO4" in get:
             use = jnp.where(jn >= 0.01, jn * dt, 0.0)
             for nm, nmol in (("H2SO4", nhp), ("NH3", nnp)):
                 if nm in self.n2i:
@@ -272,4 +301,8 @@ class NucleationDriver:
 
         chem = chem.replace(conc=conc) if hasattr(chem, "conc") \
             else chem.replace(sgas=conc)
-        return state.replace(micro=micro, chem=chem), j_app
+        # diagnostics (nucout1/2 channel set, nuc.f90:1492-1687)
+        diag = {"xn_app": j_app, "grorate": gr, "dnucv": deltax,
+                "concnuc": jnp.where(active, j_real * dt, 0.0),
+                "j_real": j_real}
+        return state.replace(micro=micro, chem=chem), diag
