@@ -558,9 +558,14 @@ class KoncMixin:
             cc = -vterm(x4, met.t, met.p) / deta
             cc = jnp.minimum(cc, -vt[kc] / deta)
             cc = cc.at[1].set(jnp.minimum(cc[1], -vdm[kc] / deta[1]))
-            # time splitting bound from the bottom Courant number
+            # time splitting bound from the bottom Courant number;
+            # iterations beyond the needed split are masked no-ops
+            # (active = dt0 > 0.1), so the bound only has to be safe:
+            # vterm tops out near 9 m/s and deta >= 10 m, so 8 covers
+            # dt = 10 s with a wide margin (reference adaptive loop,
+            # str.f90:2627-2792)
             xxxt = -0.999 / cc[1]
-            nsub = 3  # fixed bound; dtmax >= dt/3 in practice
+            nsub = 8
 
             sk = conc[jnp.asarray(idx)][:, 1:nf] * detw[None, 1:nf]
             psi = jnp.concatenate([sk[:, :1], sk], axis=1)  # ghost level

@@ -72,3 +72,65 @@ def make_ensemble_step(model, mesh: Mesh | None = None, donate: bool = True):
     """
     step = jax.vmap(model.minute_step)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# --------------------------------------------------------------------------
+# multi-host orchestration (SURVEY.md section 5.8: jax.distributed + a
+# ("hosts", "chips") factorization of the dp axis; DCN between hosts,
+# ICI within)
+# --------------------------------------------------------------------------
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialize multi-host JAX (idempotent).
+
+    On a real pod slice the three arguments come from the launcher
+    (or are auto-detected on Cloud TPU); single-process runs are a
+    no-op.  After this, jax.devices() spans every host and the meshes
+    below shard the ensemble across all of them.
+    """
+    if num_processes in (None, 1):
+        return False
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def make_host_mesh(tp: int = 1, devices=None) -> Mesh:
+    """("hosts", "dp", "tp") mesh: the leading axis separates hosts so
+    the batch sharding puts whole sub-ensembles on each host and the
+    only cross-host traffic is diagnostics reductions (DCN-tolerant;
+    columns are independent so no halo exchange exists).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_hosts = max(1, jax.process_count())
+    per_host = len(devices) // n_hosts
+    if per_host % tp != 0:
+        raise ValueError(f"{per_host} devices/host not divisible by tp")
+    arr = np.asarray(devices).reshape(n_hosts, per_host // tp, tp)
+    return Mesh(arr, axis_names=("hosts", "dp", "tp"))
+
+
+def host_spec_for(path: str, leaf, mesh: Mesh):
+    """Sharding rule on a ("hosts", "dp", "tp") mesh: batch over the
+    combined (hosts, dp) axes; ff's nka axis over tp."""
+    if leaf.ndim == 0:
+        return P()
+    if path.endswith(".ff") and leaf.ndim == 4:
+        return P(("hosts", "dp"), None, "tp", None)
+    return P(("hosts", "dp"), *([None] * (leaf.ndim - 1)))
+
+
+def shard_state_hosts(state, mesh: Mesh):
+    """Place a batched state on a multi-host mesh."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    placed = []
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path)
+        spec = host_spec_for(name, leaf, mesh)
+        placed.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, placed)
