@@ -248,6 +248,28 @@ def main():
                 except Exception as nexc:
                     print(f"bench: native baseline failed ({nexc!r})",
                           file=sys.stderr)
+                # production-size multiphase (150x70x70, nkc=4, f64
+                # stiff solves): the configuration the reference spends
+                # its life in
+                if remaining() > 600:
+                    try:
+                        sm = subprocess.run(
+                            [sys.executable, os.path.join(
+                                os.path.dirname(
+                                    os.path.abspath(__file__)),
+                                "benchmarks", "smoke_tot_full.py"),
+                             "--minutes", "1"],
+                            capture_output=True, text=True,
+                            timeout=int(max(180, remaining() - 30)))
+                        smr = json.loads(
+                            sm.stdout.strip().splitlines()[-1])
+                        chem["tot_full_s_per_model_minute"] = \
+                            smr["value"]
+                        chem["tot_full_ok"] = smr["ok"]
+                        chem["tot_full_nonconv"] = smr["nonconv"]
+                    except Exception as sexc:
+                        print(f"bench: full-grid smoke failed "
+                              f"({sexc!r})", file=sys.stderr)
                 print(json.dumps(chem))
             except Exception as exc:
                 print(f"bench: chemistry stage failed ({exc!r}); the "

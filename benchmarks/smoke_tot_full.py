@@ -33,6 +33,9 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # model state in f32; the multiphase stiff solves need f64
+    # (cfg.chem_f64), which requires x64 support enabled
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp

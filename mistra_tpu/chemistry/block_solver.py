@@ -162,8 +162,24 @@ class BlockArrowSolver:
         raise NotImplementedError(
             "bind via gas_kernel.GasKernel (supplies kw weights)")
 
+    @staticmethod
+    def _row_scale(m):
+        """Power-of-2 reciprocal of a row-magnitude bound (exact in any
+        binary float; 1.0 for empty/padded rows)."""
+        safe = jnp.where(m > 0.0, m, 1.0)
+        return jnp.exp2(-jnp.floor(jnp.log2(safe)))
+
     def prepare(self, jac_ctx, ghinv):
-        """Factorize ghinv*I - J into (invA, G, H, invS)."""
+        """Factorize R*(ghinv*I - J) into (invA, G, H, invS, R).
+
+        R is a per-row power-of-2 equilibration: aqueous equilibrium
+        rate constants reach ~1e27 in mol/m3 units (kef/keb,
+        kpp.f90:2954-3369), so raw stage-matrix entries hit ~1e18 and
+        their elimination products overflow float32 (the reference gets
+        away with it only because it is REAL*8 throughout).  Scaling
+        rows to O(1) keeps the no-pivot factorization inside f32 range
+        without changing the solution.
+        """
         jbb, jgb, jbg, jgg = jac_ctx
         B = jbb.shape[0]
         nb, ma, mg = self.nbin, self.ma, self.mg
@@ -172,6 +188,18 @@ class BlockArrowSolver:
         agb = -jgb
         abg = -jbg
         agg = ghinv[:, None, None] * self._gg_eye[None] - jgg
+
+        # row equilibration over the FULL system row (diag + coupling)
+        r_aq = self._row_scale(jnp.maximum(
+            jnp.max(jnp.abs(abb), axis=-1),
+            jnp.max(jnp.abs(abg), axis=-1)))          # [B, nb, ma]
+        r_g = self._row_scale(jnp.maximum(
+            jnp.max(jnp.abs(agg), axis=-1),
+            jnp.max(jnp.abs(agb), axis=(1, 3))))      # [B, mg]
+        abb = abb * r_aq[..., None]
+        abg = abg * r_aq[..., None]
+        agb = agb * r_g[:, None, :, None]
+        agg = agg * r_g[..., None]
 
         inv_a = batched_inv_nopivot(
             abb.reshape(B * nb, ma, ma), use_pallas=self.use_pallas,
@@ -185,18 +213,18 @@ class BlockArrowSolver:
                                     interpret=self.interpret)
         hmat = jnp.einsum("bfij,bfjk->bfik", inv_a, abg,
                           precision=_PREC)
-        return inv_a, gmat, hmat, inv_s
+        return inv_a, gmat, hmat, inv_s, r_aq, r_g
 
     def solve(self, fact, rhs):
         """x = (ghinv*I - J)^{-1} rhs via the block factorization."""
-        inv_a, gmat, hmat, inv_s = fact
+        inv_a, gmat, hmat, inv_s, r_aq, r_g = fact
         B = rhs.shape[0]
         nb, ma, mg = self.nbin, self.ma, self.mg
         rhs_z = jnp.concatenate(
             [rhs, jnp.zeros((B, 1), rhs.dtype)], axis=-1)
         rp = rhs_z[:, self._pad_gather]
-        rb = rp[:, :nb * ma].reshape(B, nb, ma)
-        rg = rp[:, nb * ma:]
+        rb = rp[:, :nb * ma].reshape(B, nb, ma) * r_aq
+        rg = rp[:, nb * ma:] * r_g
         tb = jnp.einsum("bfij,bfj->bfi", inv_a, rb, precision=_PREC)
         yg = rg - jnp.einsum("bfij,bfj->bi", gmat, rb, precision=_PREC)
         xg = jnp.einsum("bij,bj->bi", inv_s, yg, precision=_PREC)

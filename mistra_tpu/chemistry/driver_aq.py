@@ -51,7 +51,17 @@ class MultiphaseDriver(ChemistryDriver):
         bins = tuple(range(1, nkc + 1))
         self.tot = load_multiphase_mechanism(cfg.mechdir, bins=bins,
                                              name="tot")
-        self.tot_kernel = GasKernel(self.tot, dtype=self.dtype)
+        # stiff-solver dtype: f64 unless explicitly disabled (see
+        # MistraConfig.chem_f64); requires jax_enable_x64
+        self.tot_dtype = jnp.float64 if getattr(cfg, "chem_f64", True)             else self.dtype
+        if self.tot_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            import warnings
+            warnings.warn(
+                "chem_f64 requested without jax_enable_x64; multiphase "
+                "stiff solves fall back to float32 (expect frozen cells "
+                "in strongly aqueous layers)")
+            self.tot_dtype = self.dtype
+        self.tot_kernel = GasKernel(self.tot, dtype=self.tot_dtype)
         self.tot_n2i = {s: i for i, s in enumerate(self.tot.species)}
         # gas-mechanism species embedded in tot (same names)
         self.gas_in_tot = np.array(
@@ -368,10 +378,11 @@ class MultiphaseDriver(ChemistryDriver):
         return k, fix
 
     def _integrate_tot(self, state, conc, lp, lev, dt):
-        y0 = conc[:, lev].T                      # [B, nvar_tot]
+        y0 = conc[:, lev].T.astype(self.tot_dtype)   # [B, nvar_tot]
         k, fix = self._tot_env(state, lp, lev, y0)
-        y, info = self.tot_kernel.integrate(y0, k, fix, dt)
-        y = jnp.maximum(y, 0.0)
+        y, info = self.tot_kernel.integrate(
+            y0, k.astype(self.tot_dtype), fix.astype(self.tot_dtype), dt)
+        y = jnp.maximum(y, 0.0).astype(conc.dtype)
         return conc.at[:, lev].set(y.T), info["n_failed"]
 
     def _integrate_gas_above(self, state, conc, lev_g, dt):

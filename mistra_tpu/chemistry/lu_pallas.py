@@ -200,6 +200,11 @@ def batched_inv_nopivot(a_bm: jax.Array, use_pallas: bool | None = None,
         use_pallas = (a_bm.dtype == jnp.float32 and
                       jax.default_backend() == "tpu")
     if not use_pallas:
+        if (a_bm.dtype == jnp.float64 and
+                jax.default_backend() == "tpu"):
+            # TPU has no f64 LU custom call; the matmul-built recursive
+            # block inverse runs on the emulated-f64 MXU path instead
+            return _inv_block_recursive(a_bm)
         return jnp.linalg.inv(a_bm)
     n, m, _ = a_bm.shape
     pad = (-n) % LANES
@@ -214,3 +219,72 @@ def batched_inv_nopivot(a_bm: jax.Array, use_pallas: bool | None = None,
     # xt layout [tile, col, row, cell] -> batch-major [N, row, col]
     inv_bm = jnp.transpose(xt, (0, 3, 2, 1)).reshape(nt * LANES, m, m)
     return inv_bm[:n]
+
+
+# --------------------------------------------------------------------------
+# f64 path: recursive block inverse out of pure matmuls (XLA)
+# --------------------------------------------------------------------------
+
+def _inv_gj_scan(a):
+    """No-pivot Gauss-Jordan inverse via lax.scan; [N, m, m], any dtype.
+    Used at the recursion leaves (m <= 16)."""
+    n, m, _ = a.shape
+
+    def step(a, k):
+        piv = jnp.take_along_axis(
+            jnp.take_along_axis(a, jnp.full((n, 1, m), k), axis=1),
+            jnp.full((n, 1, 1), k), axis=2)[:, 0, 0]       # [N]
+        rowk = jax.lax.dynamic_slice_in_dim(a, k, 1, axis=1)[:, 0, :]
+        colk = jax.lax.dynamic_slice_in_dim(a, k, 1, axis=2)[:, :, 0]
+        rowk = rowk / piv[:, None]
+        i = jnp.arange(m)
+        not_k = (i != k)
+        f = jnp.where(not_k, colk, 0.0)
+        a = a - f[:, :, None] * rowk[:, None, :]
+        # write row k (normalized), column k (-f/piv), diag (1/piv)
+        newcol = jnp.where(not_k, -f / piv[:, None], 1.0 / piv[:, None])
+        a = jnp.where((i[None, :, None] == k),
+                      jnp.where(i[None, None, :] == k,
+                                (1.0 / piv)[:, None, None],
+                                rowk[:, None, :]), a)
+        a = jnp.where((i[None, None, :] == k) & (i[None, :, None] != k),
+                      newcol[:, :, None] * jnp.ones_like(a), a)
+        return a, None
+
+    a, _ = jax.lax.scan(step, a, jnp.arange(m))
+    return a
+
+
+def _inv_block_recursive(a, leaf: int = 16):
+    """inv(A) for [N, m, m] batches via recursive 2x2 block elimination:
+
+        inv([[A11, A12], [A21, A22]]) built from inv(A11) and the
+        inverse of the Schur complement S = A22 - A21 inv(A11) A12.
+
+    Everything except the tiny leaves is batched matmuls, so this runs
+    at full speed for dtypes whose LU/triangular-solve custom calls are
+    unavailable on TPU (float64) — the multiphase chemistry's stage
+    solves need f64 because the aqueous stiffness ratio (~1e10) exceeds
+    float32's conditioning budget (see block_solver.prepare).
+    No pivoting: same stability class as the reference's KppDecomp,
+    protected by the same row equilibration.
+    """
+    m = a.shape[-1]
+    if m <= leaf:
+        return _inv_gj_scan(a)
+    k = (m // 2 + 7) // 8 * 8 if m > 2 * 8 else m // 2
+    k = min(k, m - 1)
+    a11, a12 = a[:, :k, :k], a[:, :k, k:]
+    a21, a22 = a[:, k:, :k], a[:, k:, k:]
+    prec = jax.lax.Precision.HIGHEST
+    i11 = _inv_block_recursive(a11, leaf)
+    w = jnp.einsum("bij,bjk->bik", a21, i11, precision=prec)
+    s = a22 - jnp.einsum("bij,bjk->bik", w, a12, precision=prec)
+    i22 = _inv_block_recursive(s, leaf)
+    v = jnp.einsum("bij,bjk->bik", i11, a12, precision=prec)
+    b21 = -jnp.einsum("bij,bjk->bik", i22, w, precision=prec)
+    b12 = -jnp.einsum("bij,bjk->bik", v, i22, precision=prec)
+    b11 = i11 - jnp.einsum("bij,bjk->bik", v, b21, precision=prec)
+    top = jnp.concatenate([b11, b12], axis=2)
+    bot = jnp.concatenate([b21, i22], axis=2)
+    return jnp.concatenate([top, bot], axis=1)

@@ -216,5 +216,5 @@ def integrate(fun, linop, y0, tend, opts: RosOptions = RosOptions()):
     y, t, h, _, _, nstp, done, failed = jax.lax.while_loop(
         cond, body, carry)
     info = {"t": t, "nsteps": nstp, "done": done, "failed": failed,
-            "n_failed": jnp.sum(failed.astype(jnp.int32))}
+            "n_failed": jnp.sum(failed, dtype=jnp.int32)}
     return y, info

@@ -122,6 +122,12 @@ class MistraConfig:
     halo: bool = True
     iod: bool = True
     nkc_l: int = 4
+    # integrate the multiphase (tot) stiff system in float64 even when
+    # the rest of the model runs float32: the aqueous equilibrium /
+    # diffusion-limited rates give the stage matrix a stiffness ratio
+    # ~1e10 that exceeds float32's conditioning budget (the reference
+    # is REAL*8 throughout); gas-only chemistry stays in the model dtype
+    chem_f64: bool = True
     cgaslistfile: str = "gas_species.csv"
     cradlistfile: str = "gas_radical_species.csv"
     lpmona: bool = True              # Monahan-86 sea salt source
