@@ -20,6 +20,10 @@ import os
 import sys
 import time
 
+# the combined f64-chemistry + full-physics graph exceeds CPython's
+# default recursion limit during MLIR lowering
+sys.setrecursionlimit(100000)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 

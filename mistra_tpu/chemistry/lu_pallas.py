@@ -155,6 +155,10 @@ def _inv_kernel(lu_ref, xt_ref, row_ref, acc_ref, *, m: int):
     jax.lax.fori_loop(0, m, back, 0)
 
 
+from .._x64 import no_x64
+
+
+@no_x64
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def inv_lanes(a_tiles: jax.Array, interpret: bool = False):
     """inv(A) for a batch of dense matrices, tiled cells-minor.

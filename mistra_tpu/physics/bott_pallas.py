@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._x64 import no_x64
+
 _WALK_EPS = 1.0e-7
 YMIN = 1.0e-32
 
@@ -66,8 +68,7 @@ def _walk_right_banded(dt, u, i, J, nkt):
         run = run + qf.astype(jnp.int32)
         return count, run, qf
 
-    count, run, _ = jax.lax.fori_loop(
-        0, J, count_body,
+    count, run, _ = jax.lax.fori_loop(0, J, count_body,
         (jnp.zeros(u.shape, jnp.int32), jnp.zeros(u.shape, jnp.int32),
          jnp.ones(u.shape, dtype)))
     kstar = i + count
@@ -223,6 +224,7 @@ def _dwsum_kernel(u_ref, z_ref, rev_ref, out_ref, *, dt, J, nkt,
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "band", "block_rows"))
+@no_x64
 def bott_advect_tpu(u, z, dt, band=32, block_rows=256):
     """Banded Bott bin advection as one fused Pallas kernel.
 
@@ -280,6 +282,7 @@ def bott_advect_tpu(u, z, dt, band=32, block_rows=256):
 
 @functools.partial(jax.jit, static_argnames=("dt", "band", "block_rows",
                                              "loge0", "lnfac"))
+@no_x64
 def bott_dwsum_tpu(u, z, dt, loge0, lnfac, band=32, block_rows=256):
     """Per-row water-mass change of the banded Bott advection (no deposit).
 
