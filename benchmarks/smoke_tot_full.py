@@ -60,7 +60,11 @@ def main():
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
 
-    step = model.jit_minute_step()
+    # split dispatch (pre / 6 x substep / post): single fused-minute
+    # programs with the f64 stiff chemistry run for minutes and get
+    # killed by the shared runtime's worker resets; the split form
+    # keeps each program short
+    step = model.jit_minute_step_split()
     t0 = time.time()
     state = step(state)
     float(jnp.sum(state.met.t))    # host sync (compile + first step)

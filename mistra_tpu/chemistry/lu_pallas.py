@@ -206,9 +206,11 @@ def batched_inv_nopivot(a_bm: jax.Array, use_pallas: bool | None = None,
     if not use_pallas:
         if (a_bm.dtype == jnp.float64 and
                 jax.default_backend() == "tpu"):
-            # TPU has no f64 LU custom call; the matmul-built recursive
-            # block inverse runs on the emulated-f64 MXU path instead
-            return _inv_block_recursive(a_bm)
+            # TPU has no f64 LU custom call; a partially pivoted
+            # Gauss-Jordan scan provides LAPACK-grade accuracy (the
+            # no-pivot recursive block inverse loses ~6 digits and
+            # roughly doubles the stiff step count)
+            return _inv_gj_pivot(a_bm)
         return jnp.linalg.inv(a_bm)
     n, m, _ = a_bm.shape
     pad = (-n) % LANES
@@ -292,3 +294,42 @@ def _inv_block_recursive(a, leaf: int = 16):
     top = jnp.concatenate([b11, b12], axis=2)
     bot = jnp.concatenate([b21, i22], axis=2)
     return jnp.concatenate([top, bot], axis=1)
+
+
+def _inv_gj_pivot(a):
+    """Partially pivoted Gauss-Jordan inverse via lax.scan; [N, m, m],
+    any dtype, pure XLA (no LU custom call).
+
+    Row pivoting restores LAPACK-grade accuracy for the f64 multiphase
+    stage matrices — the no-pivot recursive block inverse loses ~6
+    digits through its nested Schur complements, which roughly doubles
+    the stiff integrator's step count (and the longer programs then
+    trip the runtime watchdog).
+    """
+    n, m, _ = a.shape
+    dtype = a.dtype
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (n, m, m))
+    aug = jnp.concatenate([a, eye], axis=2)          # [N, m, 2m]
+    used0 = jnp.zeros((n, m), bool)
+
+    def step(carry, k):
+        aug, used = carry
+        col = jax.lax.dynamic_slice_in_dim(aug, k, 1, axis=2)[:, :, 0]
+        cand = jnp.where(used, -1.0, jnp.abs(col))
+        p = jnp.argmax(cand, axis=1)                 # [N]
+        oh = jax.nn.one_hot(p, m, dtype=dtype)       # [N, m]
+        piv = jnp.sum(col * oh, axis=1)              # [N]
+        rowp = jnp.einsum("nm,nmj->nj", oh, aug)     # [N, 2m]
+        rowp = rowp / piv[:, None]
+        f = col - piv[:, None] * oh                  # zero at pivot row
+        aug = aug - f[:, :, None] * rowp[:, None, :]
+        # write the normalized pivot row back
+        aug = jnp.where(oh[:, :, None] > 0, rowp[:, None, :], aug)
+        used = used | (oh > 0)
+        return (aug, used), oh
+
+    (aug, _), ohs = jax.lax.scan(step, (aug, used0), jnp.arange(m))
+    # ohs: [m, N, m] with ohs[k, b, p_k] = 1; inv(A)[k, :] = right[p_k, :]
+    right = aug[:, :, m:]
+    perm = jnp.transpose(ohs, (1, 0, 2))             # [N, m(k), m(p)]
+    return jnp.einsum("nkp,npj->nkj", perm, right)
